@@ -1,0 +1,156 @@
+"""Typed configuration for the TPU-native OCR stack.
+
+YAML-surface-compatible with the reference's ``ocr/config.yml`` (see
+``/root/reference/ocr/config.yml:1-46``): every key of that file maps onto a
+field here, with the same defaults, so existing config files load unchanged.
+Unlike the reference — which passes a raw ``yaml.safe_load`` dict around and
+mutates derived keys at runtime (``ocr/train/crnn.py:25-28,69-74``) — this is
+a frozen dataclass with validation and explicit derived properties.
+
+Keys the reference reads but never defines (``saved_model_path``,
+``fine_tune``, ``max_iter`` — ``ocr/train/crnn.py:104-109,172``) are given
+real defaults here so resume/fine-tune actually work.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import yaml
+
+# Tokens used by the attention label converter.
+GO_TOKEN = "[GO]"
+EOS_TOKEN = "[s]"
+BLANK_TOKEN = "[blank]"
+
+DEFAULT_CHARSET = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- paths (reference config.yml:1-6) ---
+    onnx_path: str = "converted_models"
+    pretrained: str = "save_models"
+    log_dir: str = "logs"
+    train_root: str = "data/train"
+    val_root: str = "data/val"
+
+    # --- run cfgs (config.yml:8-22) ---
+    seeds: int = 4420
+    workers: int = 2
+    num_gpu: int = 1  # kept for YAML compat; TPU build uses `mesh` below
+    batch_size: int = 64
+    num_iters: int = 30000
+    val_interval: int = 1000
+    save_interval: int = 1000
+    lr: float = 0.01
+    adam: bool = False
+    beta1: float = 0.9
+    rho: float = 0.95
+    eps: float = 1.0e-8
+    grad_clip: float = 5.0
+
+    # --- fine tune / data (config.yml:24-39) ---
+    random_sample: bool = True
+    keep_ratio: bool = True
+    batch_max_len: int = 25
+    num_epochs: int = 25
+    height: int = 32
+    width: int = 100
+    rgb: bool = False
+    num_fiducial: int = 20
+    input_channel: int = 1
+    output_channel: int = 512
+    hidden_size: int = 256
+    num_classes: int = 38  # informational; derived property below is canonical
+    character: str = DEFAULT_CHARSET
+    filtering: bool = True
+
+    # --- model topology (config.yml:41-46) ---
+    transform: str = "TPS"  # {"None", "TPS"}
+    backbone: str = "ResNet"  # {"ResNet"}
+    sequence: str = "biLSTM"  # {"None", "biLSTM"}
+    prediction: str = "Attention"  # {"CTC", "Attention"}
+    pipeline: str = "CRAFT-CRNN"
+
+    # --- resume (referenced-but-missing keys in the reference) ---
+    saved_model_path: str = ""
+    fine_tune: bool = False
+    max_iter: int = 100  # eval batches cap (crnn.py:172)
+
+    # --- TPU-native additions (no reference counterpart) ---
+    mesh_data: int = -1  # data-parallel axis size; -1 = all devices
+    mesh_model: int = 1  # model axis (reserved for TP; DP-only by default)
+    compute_dtype: str = "bfloat16"  # MXU-friendly compute precision
+    param_dtype: str = "float32"
+    # Detector canvas buckets (static shapes for XLA; reference resizes to
+    # arbitrary multiples of 32 which would recompile per shape).
+    canvas_size: int = 1280
+    magnify_ratio: float = 1.5
+    text_threshold: float = 0.7
+    link_threshold: float = 0.4
+    low_text: float = 0.4
+    enable_poly: bool = False
+    max_boxes: int = 256  # static cap on detected boxes per image
+    cc_max_iters: int = 16  # connected-component sweep cap
+
+    def __post_init__(self):
+        if self.transform not in ("None", "TPS"):
+            raise ValueError(f"transform must be None|TPS, got {self.transform!r}")
+        if self.backbone not in ("ResNet",):
+            raise ValueError(f"backbone must be ResNet, got {self.backbone!r}")
+        if self.sequence not in ("None", "biLSTM"):
+            raise ValueError(f"sequence must be None|biLSTM, got {self.sequence!r}")
+        if self.prediction not in ("CTC", "Attention"):
+            raise ValueError(
+                f"prediction must be CTC|Attention, got {self.prediction!r}"
+            )
+        if self.pipeline != "CRAFT-CRNN":
+            raise ValueError(f"pipeline must be CRAFT-CRNN, got {self.pipeline!r}")
+        if self.height <= 0 or self.width <= 0 or self.batch_max_len <= 0:
+            raise ValueError("height/width/batch_max_len must be positive")
+
+    # --- derived (canonical replacements for crnn.py:69-74 mutation) ---
+    @property
+    def derived_input_channel(self) -> int:
+        return 3 if self.rgb else self.input_channel
+
+    @property
+    def derived_num_classes(self) -> int:
+        """len(converter.character): CTC = charset+blank, Attn = charset+GO+EOS."""
+        if self.prediction == "CTC":
+            return len(self.character) + 1
+        return len(self.character) + 2
+
+    @property
+    def num_steps(self) -> int:
+        """Attention decode steps = batch_max_len + 1 (attention.py:28)."""
+        return self.batch_max_len + 1
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Config":
+        names = {f.name for f in dataclasses.fields(cls)}
+        known = {k: v for k, v in d.items() if k in names}
+        return cls(**known)
+
+
+def load_config(path: str | None = None) -> Config:
+    """Load a reference-format YAML config; missing keys get defaults."""
+    if path is None:
+        return Config()
+    with open(os.path.expanduser(path), "r") as f:
+        data = yaml.safe_load(f) or {}
+    return Config.from_dict(data)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)

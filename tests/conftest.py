@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so that multi-chip sharding
+(`jax.sharding.Mesh` + pjit/shard_map) is exercised without TPU hardware.
+Environment variables must be set before JAX is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(4420)
