@@ -2,16 +2,25 @@
 
 Tests run on a virtual 8-device CPU mesh so that multi-chip sharding
 (`jax.sharding.Mesh` + pjit/shard_map) is exercised without TPU hardware.
-Environment variables must be set before JAX is imported anywhere.
+
+NOTE: the ambient environment exports ``JAX_PLATFORMS=axon`` (the real TPU
+tunnel) — it must be *overridden*, not defaulted, or every test silently
+runs on the single TPU chip with 20-40 s compiles and bf16 matmul
+precision.  Env vars are set before any JAX import, and the config flag is
+also set explicitly because plugin registration can win over the env var.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
