@@ -1,0 +1,142 @@
+"""Bahdanau-style attention decoder as a single `lax.scan`.
+
+The reference decodes with a 26-step *Python* loop over an LSTMCell
+(``ocr/modules/attention.py:38-59``) — the hottest sequential path in its
+recognizer.  Here both modes are one ``lax.scan``:
+
+* training: teacher forcing over the [GO]-prefixed text (scan over the
+  precomputed one-hots; ``attention.py:38-44``);
+* inference: greedy argmax feedback carried through the scan state
+  (``attention.py:45-59``).
+
+Per-step wiring matches ``AttentionCell`` (``attention.py:64-88``):
+``e = score(tanh(i2h(feats) + h2h(h)))``; ``alpha = softmax_T(e)``;
+``context = alpha^T feats``; LSTMCell([context; onehot(prev)], (h, c)).
+``i2h(feats)`` is step-invariant, so it is hoisted out of the scan as one
+big MXU matmul.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lightly_ocr_tpu.models.lstm import lstm_cell_step
+
+Dtype = Any
+
+
+class LSTMCellParams(nn.Module):
+    """torch ``nn.LSTMCell`` parameters (weight_ih [4H, in] etc.)."""
+
+    in_dim: int
+    hidden: int
+
+    def setup(self):
+        H4 = 4 * self.hidden
+        init = nn.initializers.uniform(scale=2.0 / jnp.sqrt(self.hidden))
+        self.weight_ih = self.param("weight_ih", init, (H4, self.in_dim))
+        self.weight_hh = self.param("weight_hh", init, (H4, self.hidden))
+        self.bias_ih = self.param("bias_ih", init, (H4,))
+        self.bias_hh = self.param("bias_hh", init, (H4,))
+
+    def __call__(self, inp, h, c):
+        return lstm_cell_step(
+            inp, h, c, self.weight_ih, self.weight_hh, self.bias_ih, self.bias_hh
+        )
+
+
+class AttentionCellParams(nn.Module):
+    """Holds the cell's parameters under torch-compatible names."""
+
+    n_in: int
+    hidden: int
+    num_classes: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.i2h = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)
+        self.h2h = nn.Dense(self.hidden, dtype=self.dtype)
+        self.score = nn.Dense(1, use_bias=False, dtype=self.dtype)
+        self.rnn = LSTMCellParams(self.n_in + self.num_classes, self.hidden)
+
+    def __call__(self, x):  # pragma: no cover - params only
+        raise NotImplementedError
+
+
+class Attention(nn.Module):
+    """Decoder head (``attention.py:8-61``); emits [B, num_steps, classes]."""
+
+    hidden: int
+    num_classes: int
+    num_steps: int = 26  # batch_max_len + 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jax.Array,  # [B, T, n_in] encoder states
+        text: jax.Array | None = None,  # [B, >=num_steps] int32 ([GO]-prefixed)
+        train: bool = False,
+    ) -> jax.Array:
+        B, T, n_in = feats.shape
+        cell = AttentionCellParams(
+            n_in, self.hidden, self.num_classes, self.dtype, name="attention_cell"
+        )
+        generator = nn.Dense(self.num_classes, dtype=self.dtype, name="generator")
+
+        feats_proj = cell.i2h(feats)  # [B, T, H] hoisted out of the scan
+        w_ih = cell.rnn.weight_ih.astype(self.dtype)
+        w_hh = cell.rnn.weight_hh.astype(self.dtype)
+        b_ih = cell.rnn.bias_ih.astype(self.dtype)
+        b_hh = cell.rnn.bias_hh.astype(self.dtype)
+
+        def attend(h):
+            e = cell.score(jnp.tanh(feats_proj + cell.h2h(h)[:, None, :]))
+            alpha = jax.nn.softmax(e, axis=1)  # [B, T, 1]
+            return jnp.sum(alpha * feats, axis=1)  # [B, n_in]
+
+        h0 = jnp.zeros((B, self.hidden), self.dtype)
+        c0 = jnp.zeros((B, self.hidden), self.dtype)
+
+        # Materialize every submodule's params OUTSIDE the scan: flax cannot
+        # create params inside a plain lax.scan trace. XLA dead-code
+        # eliminates these dummy calls after init.
+        _ = attend(h0)
+        _ = generator(h0)
+
+        if train:
+            if text is None:
+                raise ValueError("teacher forcing requires `text`")
+            onehots = jax.nn.one_hot(
+                text[:, : self.num_steps], self.num_classes, dtype=self.dtype
+            )  # [B, S, C]
+
+            def step(carry, char_onehot):
+                h, c = carry
+                context = attend(h)
+                inp = jnp.concatenate([context, char_onehot], axis=1)
+                h, c = lstm_cell_step(inp, h, c, w_ih, w_hh, b_ih, b_hh)
+                return (h, c), h
+
+            _, hs = jax.lax.scan(step, (h0, c0), jnp.swapaxes(onehots, 0, 1))
+            hs = jnp.swapaxes(hs, 0, 1)  # [B, S, H]
+            return generator(hs)
+
+        def step(carry, _):
+            h, c, prev = carry
+            onehot = jax.nn.one_hot(prev, self.num_classes, dtype=self.dtype)
+            context = attend(h)
+            inp = jnp.concatenate([context, onehot], axis=1)
+            h, c = lstm_cell_step(inp, h, c, w_ih, w_hh, b_ih, b_hh)
+            probs_step = generator(h)
+            nxt = jnp.argmax(probs_step, axis=1)
+            return (h, c, nxt), probs_step
+
+        prev0 = jnp.zeros((B,), jnp.int32)  # [GO]
+        _, probs = jax.lax.scan(
+            step, (h0, c0, prev0), None, length=self.num_steps
+        )
+        return jnp.swapaxes(probs, 0, 1)  # [B, S, C]

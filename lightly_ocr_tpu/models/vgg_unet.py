@@ -1,0 +1,195 @@
+"""CRAFT text detector: VGG16-BN encoder + U-Net decoder (NHWC, flax).
+
+Topology parity with ``ocr/model.py:9-61`` + ``ocr/modules/vgg_bn.py``:
+
+* The encoder is torchvision's VGG16-BN `features` sliced at indices
+  12/19/29/39 — each slice therefore ENDS on a BatchNorm; the ReLU that
+  torch would apply next lives at the START of the following slice, and
+  conv5_3 + the final pool are dropped entirely.  slice5 is maxpool(3,s1,
+  p1) + dilated 3x3 conv (rate 6, 512->1024) + 1x1 conv (1024->1024).
+* Decoder: cat(fc7, bn5_2-out) -> UpConv(1024,512,256), then three
+  bilinear-upsample+concat+UpConv stages down to 32 channels, then the
+  5-conv classification head emitting 2 maps (region score, affinity
+  score) at input/2 resolution.
+
+Output: ([B, H/2, W/2, 2] score maps, [B, H/2, W/2, 32] feature) — NHWC
+already, so no final permute is needed (the torch code permutes NCHW ->
+NHWC at ``model.py:61``).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lightly_ocr_tpu.models.layers import batch_norm, conv, max_pool
+
+Dtype = Any
+
+# VGG16-BN feature slices as explicit op sequences using torchvision layer
+# indices for conv/bn names ("C", idx, channels | "P" pool | "R" relu).
+#
+# SUBTLE PARITY POINT: the reference slices the torchvision Sequential so
+# each slice ends on a BatchNorm (``vgg_bn.py:44-51``), and the *next*
+# slice begins with ``ReLU(inplace=True)``.  Because those ReLUs are
+# in-place, they MUTATE the tensors the reference saved as slice outputs —
+# so by the time the U-Net decoder reads them, slice1/2/3 outputs are
+# effectively POST-ReLU, while slice4's output stays pre-ReLU (slice5
+# starts with a MaxPool, no in-place op touches it).  The op lists below
+# encode that *effective* dataflow: trailing R on slices 1-3, none on
+# slice4.
+_VGG_SLICES = {
+    "slice1": [  # features[0:12] (+ the mutating relu at index 12)
+        ("C", 0, 64), ("R",), ("C", 3, 64), ("R",), ("P",),
+        ("C", 7, 128), ("R",), ("C", 10, 128), ("R",),
+    ],
+    "slice2": [  # features[13:19] (+ relu at 19)
+        ("P",), ("C", 14, 256), ("R",), ("C", 17, 256), ("R",),
+    ],
+    "slice3": [  # features[20:29] (+ relu at 29)
+        ("C", 20, 256), ("R",), ("P",),
+        ("C", 24, 512), ("R",), ("C", 27, 512), ("R",),
+    ],
+    "slice4": [  # features[30:39] — ends pre-ReLU (bn5_2)
+        ("C", 30, 512), ("R",), ("P",),
+        ("C", 34, 512), ("R",), ("C", 37, 512),
+    ],
+}
+
+
+class _VggSlice(nn.Module):
+    ops: tuple
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for op in self.ops:
+            if op[0] == "R":
+                x = nn.relu(x)
+            elif op[0] == "P":
+                x = max_pool(x, (2, 2), (2, 2))
+            else:
+                _, idx, ch = op
+                x = conv(ch, use_bias=True, name=str(idx), dtype=self.dtype)(x)
+                x = batch_norm(train, str(idx + 1), self.dtype)(x)
+        return x
+
+
+class VggBackbone(nn.Module):
+    """VGG16-BN sliced per the reference (``vgg_bn.py:34-82``)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        outs = {}
+        for name in ("slice1", "slice2", "slice3", "slice4"):
+            x = _VggSlice(tuple(_VGG_SLICES[name]), self.dtype, name=name)(
+                x, train
+            )
+            outs[name] = x
+        outs["fc7"] = _Slice5(self.dtype, name="slice5")(x)
+        return outs
+
+
+class _Slice5(nn.Module):
+    """fc6/fc7 head: maxpool(3,s1,p1) + dilated 3x3 conv (rate 6,
+    512->1024) + 1x1 conv (``vgg_bn.py:54-55``); children named 1/2 to
+    mirror the torch Sequential (0 is the pool)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = max_pool(x, (3, 3), (1, 1), ((1, 1), (1, 1)))
+        x = nn.Conv(
+            1024,
+            (3, 3),
+            padding=((6, 6), (6, 6)),
+            kernel_dilation=(6, 6),
+            dtype=self.dtype,
+            name="1",
+        )(x)
+        return nn.Conv(1024, (1, 1), padding="VALID", dtype=self.dtype, name="2")(x)
+
+
+class UpConv(nn.Module):
+    """U-Net decoder block (``vgg_bn.py:23-31``): 1x1 conv-BN-ReLU then
+    3x3 conv-BN-ReLU."""
+
+    mid: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        class _Seq(nn.Module):
+            mid: int
+            out: int
+            dtype: Dtype
+
+            @nn.compact
+            def __call__(self, x, train):
+                x = conv(
+                    self.mid, (1, 1), padding="VALID", name="0", dtype=self.dtype
+                )(x)
+                x = nn.relu(batch_norm(train, "1", self.dtype)(x))
+                x = conv(self.out, (3, 3), name="3", dtype=self.dtype)(x)
+                x = nn.relu(batch_norm(train, "4", self.dtype)(x))
+                return x
+
+        return _Seq(self.mid, self.out, self.dtype, name="conv")(x, train)
+
+
+def _upsample_to(x: jax.Array, h: int, w: int) -> jax.Array:
+    """Bilinear upsample (torch interpolate align_corners=False ==
+    half-pixel-center resize)."""
+    return jax.image.resize(
+        x, (x.shape[0], h, w, x.shape[3]), method="bilinear", antialias=False
+    )
+
+
+class VGG_UNet(nn.Module):
+    """CRAFT detector graph (``ocr/model.py:9-61``)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        s = VggBackbone(self.dtype, name="basenet")(x, train)
+
+        y = jnp.concatenate([s["fc7"], s["slice4"]], axis=-1)  # H/16
+        y = UpConv(512, 256, self.dtype, name="upconv1")(y, train)
+
+        t = s["slice3"]  # H/8
+        y = _upsample_to(y, t.shape[1], t.shape[2])
+        y = jnp.concatenate([y, t], axis=-1)
+        y = UpConv(256, 128, self.dtype, name="upconv2")(y, train)
+
+        t = s["slice2"]  # H/4
+        y = _upsample_to(y, t.shape[1], t.shape[2])
+        y = jnp.concatenate([y, t], axis=-1)
+        y = UpConv(128, 64, self.dtype, name="upconv3")(y, train)
+
+        t = s["slice1"]  # H/2
+        y = _upsample_to(y, t.shape[1], t.shape[2])
+        y = jnp.concatenate([y, t], axis=-1)
+        feature = UpConv(64, 32, self.dtype, name="upconv4")(y, train)
+
+        class _Head(nn.Module):
+            dtype: Dtype
+
+            @nn.compact
+            def __call__(self, x):
+                x = nn.relu(conv(32, (3, 3), name="0", dtype=self.dtype)(x))
+                x = nn.relu(conv(32, (3, 3), name="2", dtype=self.dtype)(x))
+                x = nn.relu(conv(16, (3, 3), name="4", dtype=self.dtype)(x))
+                x = nn.relu(
+                    conv(16, (1, 1), padding="VALID", name="6", dtype=self.dtype)(x)
+                )
+                return conv(2, (1, 1), padding="VALID", name="8", dtype=self.dtype)(x)
+
+        y = _Head(self.dtype, name="conv_cls")(feature)
+        return y, feature  # NHWC score maps [B, H/2, W/2, 2]

@@ -1,0 +1,289 @@
+"""CRAFT score-map post-processing as one jitted XLA program.
+
+The reference extracts word boxes on the host with OpenCV
+(``ocr/tools/det_utils.py:35-94``): binary thresholds, 4-connectivity
+``cv2.connectedComponentsWithStats``, a *per-component Python loop* doing
+area/peak filtering, square-kernel dilation sized by
+``niter = floor(sqrt(size*min(w,h)/(w*h))*2)``, ``cv2.minAreaRect`` +
+``boxPoints``, a square-box axis-align special case, and a clockwise roll.
+That loop is one of the three hot paths called out in SURVEY §3.1.
+
+This module re-derives the same geometry as dense, batched tensor math:
+
+* **Connected components**: iterated *segmented min-scans* — labels start
+  as linear indices; each round propagates the row-wise then column-wise
+  running minimum within foreground runs (an associative scan, so XLA can
+  parallelize it), which converges in a handful of rounds for text-shaped
+  blobs.  4-connectivity is preserved because propagation only ever moves
+  along rows/columns.
+* **Stats**: one segment-reduction pass (area, text peak, bbox).
+* **minAreaRect + dilation, exactly and without materializing the dilated
+  mask**: ``cv2.dilate`` with a box kernel is a Minkowski sum, and the
+  support function of a Minkowski sum is the sum of support functions —
+  so the rotated extents of the *dilated* component equal the extents of
+  the raw component plus ``he*(|cos t|+|sin t|)`` (plus a half-pixel
+  centre shift when the kernel side is even, matching OpenCV's anchor).
+  A dense sweep over D angles turns min-area-rect into two MXU matmuls +
+  segment min/max, vectorized over ALL components at once; D=128 keeps
+  the quantization error far inside the >=99% box-IoU budget.
+
+Static shapes: at most ``max_boxes`` components survive, padded with a
+validity mask.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(2**30)
+
+
+# ---------------------------------------------------------------------------
+# Connected-component labeling
+# ---------------------------------------------------------------------------
+
+
+def _segmented_min_scan(values: jax.Array, boundary: jax.Array, axis: int,
+                        reverse: bool) -> jax.Array:
+    """Running min along ``axis`` that resets at ``boundary`` elements."""
+
+    def combine(a, b):
+        av, ab = a
+        bv, bb = b
+        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
+
+    out, _ = jax.lax.associative_scan(
+        combine, (values, boundary), axis=axis, reverse=reverse
+    )
+    return out
+
+
+def label_components(fg: jax.Array, max_rounds: int = 24) -> jax.Array:
+    """4-connectivity CC labeling of a [H, W] bool mask.
+
+    Returns int32 labels = the minimum linear index in each component;
+    background pixels get H*W.  Equivalent to the labeling relation of
+    ``cv2.connectedComponentsWithStats(connectivity=4)`` (label *values*
+    differ; the partition is identical).
+    """
+    H, W = fg.shape
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    labels = jnp.where(fg, idx, _BIG)
+    bg = ~fg
+
+    def one_round(labels):
+        labels = _segmented_min_scan(labels, bg, axis=1, reverse=False)
+        labels = _segmented_min_scan(labels, bg, axis=1, reverse=True)
+        labels = _segmented_min_scan(labels, bg, axis=0, reverse=False)
+        labels = _segmented_min_scan(labels, bg, axis=0, reverse=True)
+        return jnp.where(fg, labels, _BIG)
+
+    def cond(state):
+        labels, prev, i = state
+        return (i < max_rounds) & jnp.any(labels != prev)
+
+    def body(state):
+        labels, _, i = state
+        return one_round(labels), labels, i + 1
+
+    labels = one_round(labels)
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (one_round(labels), labels, jnp.int32(1))
+    )
+    return jnp.where(fg, labels, jnp.int32(H * W))
+
+
+# ---------------------------------------------------------------------------
+# Box extraction
+# ---------------------------------------------------------------------------
+
+
+class DetBoxes(NamedTuple):
+    boxes: jax.Array  # [K, 4, 2] (x, y) heatmap-space corners, clockwise
+    valid: jax.Array  # [K] bool
+    labels: jax.Array  # [H, W] int32 component labels (for poly mode)
+    cid: jax.Array  # [H, W] int32 compact component id (K = invalid)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_boxes", "num_angles", "cc_rounds")
+)
+def get_det_boxes(
+    textmap: jax.Array,
+    linkmap: jax.Array,
+    text_threshold: float = 0.7,
+    link_threshold: float = 0.4,
+    low_text: float = 0.4,
+    max_boxes: int = 256,
+    num_angles: int = 128,
+    cc_rounds: int = 24,
+) -> DetBoxes:
+    """det_boxes_core (``det_utils.py:35-94``) as a single XLA program."""
+    H, W = textmap.shape
+    HW = H * W
+    K = max_boxes
+
+    text = textmap > low_text  # cv2.threshold uses strict >
+    link = linkmap > link_threshold
+    fg = text | link
+
+    labels = label_components(fg, cc_rounds)  # [H, W], bg = HW
+    flat_labels = labels.reshape(-1)
+
+    # --- per-component stats over HW+1 bins (one pass) ---
+    ones = jnp.ones((HW,), jnp.float32)
+    area = jax.ops.segment_sum(ones, flat_labels, num_segments=HW + 1)
+    peak = jax.ops.segment_max(
+        textmap.reshape(-1), flat_labels, num_segments=HW + 1
+    )
+    cols = jnp.tile(jnp.arange(W, dtype=jnp.int32), (H,))
+    rows = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
+    minx = jax.ops.segment_min(cols, flat_labels, num_segments=HW + 1)
+    maxx = jax.ops.segment_max(cols, flat_labels, num_segments=HW + 1)
+    miny = jax.ops.segment_min(rows, flat_labels, num_segments=HW + 1)
+    maxy = jax.ops.segment_max(rows, flat_labels, num_segments=HW + 1)
+
+    # --- pick components: root bins with area>=10 and peak>=threshold ---
+    root_ids = jnp.arange(HW + 1, dtype=jnp.int32)
+    is_root = (area > 0) & (root_ids < HW)
+    keep = is_root & (area >= 10) & (peak >= text_threshold)
+    # stable compaction in scan order (matches cv2's label ordering)
+    order = jnp.argsort(jnp.where(keep, root_ids, _BIG))[:K]
+    valid = keep[order]
+
+    k_area = area[order]
+    k_w = (maxx[order] - minx[order] + 1).astype(jnp.float32)
+    k_h = (maxy[order] - miny[order] + 1).astype(jnp.float32)
+    # niter = floor(sqrt(size * min(w,h) / (w*h)) * 2)   (det_utils.py:63)
+    niter = jnp.floor(
+        jnp.sqrt(k_area * jnp.minimum(k_w, k_h) / (k_w * k_h)) * 2.0
+    )
+    he = niter / 2.0  # Minkowski half-extent of the (1+niter) box kernel
+    shift = jnp.where(jnp.mod(niter, 2.0) == 1.0, 0.5, 0.0)  # even kernel
+
+    # --- compact id per pixel; drop link-only pixels from geometry ---
+    table = jnp.full((HW + 1,), K, jnp.int32).at[order].set(
+        jnp.where(valid, jnp.arange(K, dtype=jnp.int32), K)
+    )
+    cid = table[flat_labels]
+    geom_ok = ~(link & ~text)  # det_utils.py:60
+    cid_geom = jnp.where(geom_ok.reshape(-1), cid, K)
+
+    # --- support sweep: rotated extents for all components & angles ---
+    d = num_angles
+    theta = jnp.arange(d, dtype=jnp.float32) * (jnp.pi / 2.0 / d)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    # projection directions u=(c,s) and v=(-s,c), all as one [2, 2d] matrix
+    U = jnp.concatenate(
+        [jnp.stack([c, s], 0), jnp.stack([-s, c], 0)], axis=1
+    )  # [2, 2d]
+    coords = jnp.stack([cols, rows], axis=1).astype(jnp.float32)  # [HW, 2]
+
+    def chunk_minmax(u_chunk):
+        p = coords @ u_chunk  # [HW, chunk] — MXU matmul
+        mx = jax.ops.segment_max(p, cid_geom, num_segments=K + 1)
+        mn = jax.ops.segment_min(p, cid_geom, num_segments=K + 1)
+        return mn[:K], mx[:K]
+
+    n_chunks = 8 if (2 * d) % 8 == 0 else 1
+    u_chunks = jnp.stack(jnp.split(U, n_chunks, axis=1))  # [n, 2, 2d/n]
+    mins, maxs = jax.lax.map(chunk_minmax, u_chunks)
+    smin = jnp.concatenate(list(mins), axis=1)  # [K, 2d]
+    smax = jnp.concatenate(list(maxs), axis=1)
+    ux_min, uy_min = smin[:, :d], smin[:, d:]
+    ux_max, uy_max = smax[:, :d], smax[:, d:]
+
+    # dilation in support space: +/- he*(|c|+|s|), center shift for even
+    # kernels (OpenCV anchor at K//2 shifts the sum by +0.5 per axis)
+    grow = he[:, None] * (jnp.abs(c) + jnp.abs(s))[None, :]
+    shift_x = shift[:, None] * (c + s)[None, :]
+    shift_y = shift[:, None] * (c - s)[None, :]
+    x0 = ux_min - grow + shift_x
+    x1 = ux_max + grow + shift_x
+    y0 = uy_min - grow + shift_y
+    y1 = uy_max + grow + shift_y
+
+    areas = (x1 - x0) * (y1 - y0)
+    areas = jnp.where(jnp.isfinite(areas), areas, jnp.inf)
+    best = jnp.argmin(areas, axis=1)  # [K]
+
+    def pick(a):
+        return jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+
+    bx0, bx1, by0, by1 = pick(x0), pick(x1), pick(y0), pick(y1)
+    bc, bs = c[best], s[best]
+    u_vec = jnp.stack([bc, bs], axis=1)  # [K, 2]
+    v_vec = jnp.stack([-bs, bc], axis=1)
+
+    # corners in rotated frame (clockwise with y-down): (x0,y0) (x1,y0)
+    # (x1,y1) (x0,y1) mapped back through u, v
+    cx = jnp.stack([bx0, bx1, bx1, bx0], axis=1)  # [K, 4]
+    cy = jnp.stack([by0, by0, by1, by1], axis=1)
+    corners = cx[..., None] * u_vec[:, None, :] + cy[..., None] * v_vec[:, None, :]
+
+    # square-box special case (det_utils.py:79-84): near-square rects are
+    # replaced by the axis-aligned bbox of the dilated points.
+    side_w = bx1 - bx0
+    side_h = by1 - by0
+    ratio = jnp.maximum(side_w, side_h) / (jnp.minimum(side_w, side_h) + 1e-5)
+    is_square = jnp.abs(1.0 - ratio) <= 0.1
+    # axis-aligned extents of dilated geometry = theta=0 supports +/- he
+    g_minx = ux_min[:, 0] - he + shift
+    g_maxx = ux_max[:, 0] + he + shift
+    g_miny = uy_min[:, 0] - he + shift
+    g_maxy = uy_max[:, 0] + he + shift
+    sq = jnp.stack(
+        [
+            jnp.stack([g_minx, g_miny], 1),
+            jnp.stack([g_maxx, g_miny], 1),
+            jnp.stack([g_maxx, g_maxy], 1),
+            jnp.stack([g_minx, g_maxy], 1),
+        ],
+        axis=1,
+    )  # [K, 4, 2]
+    corners = jnp.where(is_square[:, None, None], sq, corners)
+
+    # clip to the score-map bounds (the reference's dilation window is
+    # clipped to the image, det_utils.py:66-69)
+    corners = jnp.stack(
+        [
+            jnp.clip(corners[..., 0], 0.0, W - 1.0),
+            jnp.clip(corners[..., 1], 0.0, H - 1.0),
+        ],
+        axis=-1,
+    )
+
+    # clockwise order starting at the corner with min x+y (det_utils.py:87-88)
+    start = jnp.argmin(corners.sum(-1), axis=1)  # [K]
+    roll_idx = (jnp.arange(4)[None, :] + start[:, None]) % 4
+    corners = jnp.take_along_axis(corners, roll_idx[..., None], axis=1)
+
+    corners = jnp.where(valid[:, None, None], corners, 0.0)
+    return DetBoxes(
+        boxes=corners, valid=valid, labels=labels, cid=cid.reshape(H, W)
+    )
+
+
+def boxes_to_rects(boxes: jax.Array, valid: jax.Array,
+                   ratio_w: float, ratio_h: float) -> jax.Array:
+    """Boxes -> axis-aligned [K, 4] rects (y0, x0, y1, x1) in original-image
+    coordinates, mirroring ``adjustResultCoordinates`` x2 net ratio
+    (``det_utils.py:259-265``) + the min/max reduction of ``net.py:93-97``
+    (whose variable names swap x/y; the slicing is row-major, so the rect
+    layout here is (row0, col0, row1, col1))."""
+    scaled = boxes * jnp.asarray(
+        [ratio_w * 2.0, ratio_h * 2.0], jnp.float32
+    )
+    as_int = scaled.astype(jnp.int32)
+    x0 = jnp.min(as_int[..., 0], axis=1)
+    y0 = jnp.min(as_int[..., 1], axis=1)
+    x1 = jnp.max(as_int[..., 0], axis=1)
+    y1 = jnp.max(as_int[..., 1], axis=1)
+    rects = jnp.stack([y0, x0, y1, x1], axis=1)
+    return jnp.where(valid[:, None], rects, 0)
+
+
+__all__ = ["DetBoxes", "get_det_boxes", "boxes_to_rects", "label_components"]

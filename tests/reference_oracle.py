@@ -1,0 +1,97 @@
+"""Test-only loader for the reference PyTorch models (the parity oracle).
+
+Imports the reference sources from /root/reference/ocr (read-only mount)
+so parity tests compare against the *actual* reference computation with
+shared random weights.  torchvision is not installed in this image, so a
+minimal stub providing ``models.vgg16_bn(pretrained=False).features`` (the
+standard VGG16-BN feature stack) is injected first — the reference only
+uses torchvision to fetch pretrained weights, which we never do in tests.
+
+Everything here is gated: tests skip if the reference mount is absent.
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+REFERENCE_OCR = "/root/reference/ocr"
+
+
+def _install_torchvision_stub():
+    if "torchvision" in sys.modules:
+        return
+    import torch.nn as tnn
+
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    vggmod = types.ModuleType("torchvision.models.vgg")
+    vggmod.model_urls = {"vgg16_bn": "https://invalid.local/vgg16_bn.pth"}
+
+    def _make_features():
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, in_ch = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(kernel_size=2, stride=2))
+            else:
+                layers += [
+                    tnn.Conv2d(in_ch, v, kernel_size=3, padding=1),
+                    tnn.BatchNorm2d(v),
+                    tnn.ReLU(inplace=True),
+                ]
+                in_ch = v
+        return tnn.Sequential(*layers)
+
+    class _VGG(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = _make_features()
+
+    def vgg16_bn(pretrained=False, **kw):
+        assert not pretrained, "stub cannot fetch pretrained weights"
+        return _VGG()
+
+    models.vgg16_bn = vgg16_bn
+    models.vgg = vggmod
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models.vgg"] = vggmod
+
+
+_cache = {}
+
+
+def load_reference():
+    """Returns (model_module, modules_package) from the reference repo."""
+    if "model" in _cache:
+        return _cache["model"], _cache["modules"]
+    _install_torchvision_stub()
+    if REFERENCE_OCR not in sys.path:
+        sys.path.insert(0, REFERENCE_OCR)
+    import modules  # noqa: F401  (reference package)
+    import model  # noqa: F401  (reference module)
+
+    _cache["model"] = model
+    _cache["modules"] = modules
+    return model, modules
+
+
+def reference_config(prediction: str = "CTC", transform: str = "TPS") -> dict:
+    """A reference-shaped CONFIG dict for CRNNet construction."""
+    num_classes = 37 if prediction == "CTC" else 38
+    return {
+        "transform": transform,
+        "backbone": "ResNet",
+        "sequence": "biLSTM",
+        "prediction": prediction,
+        "num_fiducial": 20,
+        "height": 32,
+        "width": 100,
+        "input_channel": 1,
+        "output_channel": 512,
+        "hidden_size": 256,
+        "num_classes": num_classes,
+        "batch_max_len": 25,
+    }
