@@ -1,0 +1,229 @@
+"""HTTP serving layer — same wire API as the reference Flask app.
+
+Response-shape parity with ``ocr/server.py``:
+
+* ``GET /``    -> 200 ``{"status": "online"}``            (server.py:41-44)
+* ``POST /api`` -> 200 ``{"status": "OK", "results": {i: text}}``
+                   (server.py:49-53), 403 ``{"status": "noInput"|
+                   "emptyInput"}``, 404 ``{"status": "badInput"}``
+                   (server.py:22-38 — whose ``r.file`` typo made the
+                   reference 500 on every upload; fixed here)
+
+Flask is not available in this image, so the app is a plain WSGI callable
+served by ``wsgiref``'s threaded server.  Unlike the reference — a single
+Flask worker pushing batch-1 inference per request — concurrent requests
+are funneled into an :class:`InferenceWorker` that groups them into
+batches for the jitted pipeline (the TPU-throughput path, BASELINE
+config 5).
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import logging
+import os
+import queue
+import re
+import threading
+import uuid
+from concurrent.futures import Future
+from typing import Any, Callable
+
+import numpy as np
+
+ALLOWED_EXT = {"png", "jpeg", "jpg"}
+log = logging.getLogger("lightly_ocr_tpu.server")
+
+
+def is_allowed(filename: str) -> bool:
+    return "." in filename and filename.rsplit(".", 1)[1].lower() in ALLOWED_EXT
+
+
+def secure_filename(name: str) -> str:
+    name = os.path.basename(name.replace("\\", "/"))
+    name = re.sub(r"[^A-Za-z0-9_.-]", "_", name).strip("._")
+    return name or f"upload-{uuid.uuid4().hex}"
+
+
+class InferenceWorker:
+    """Single consumer thread that drains the request queue in batches.
+
+    JAX dispatch is serialized anyway; batching here turns N concurrent
+    HTTP requests into ceil(N / max_batch) pipeline invocations.
+    """
+
+    def __init__(self, predict_fn: Callable, max_batch: int = 16):
+        self.predict_fn = predict_fn
+        self.max_batch = max_batch
+        self.q: "queue.Queue[tuple[np.ndarray, Future]]" = queue.Queue()
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, image: np.ndarray) -> Future:
+        fut: Future = Future()
+        self.q.put((image, fut))
+        return fut
+
+    def close(self) -> None:
+        self._stop.set()
+        self.q.put((None, None))  # wake the loop
+        self.thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            item = self.q.get()
+            if item[0] is None:
+                continue
+            batch = [item]
+            while len(batch) < self.max_batch:
+                try:
+                    nxt = self.q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt[0] is not None:
+                    batch.append(nxt)
+            images = [b[0] for b in batch]
+            futures = [b[1] for b in batch]
+            try:
+                results = self.predict_fn(images)
+                for fut, res in zip(futures, results):
+                    fut.set_result(res)
+            except Exception as e:  # surface errors to every waiter
+                log.exception("batch inference failed")
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+def _json_response(start_response, status: str, payload: dict) -> list[bytes]:
+    body = json.dumps(payload).encode()
+    start_response(
+        status,
+        [("Content-Type", "application/json"),
+         ("Content-Length", str(len(body)))],
+    )
+    return [body]
+
+
+def _parse_multipart(environ) -> tuple[str | None, bytes | None]:
+    """Extract (filename, bytes) of the 'file' field from a multipart
+    form; (None, None) if absent."""
+    ctype = environ.get("CONTENT_TYPE", "")
+    m = re.search(r'boundary="?([^";]+)"?', ctype)
+    if "multipart/form-data" not in ctype or not m:
+        return None, None
+    boundary = m.group(1).encode()
+    try:
+        length = int(environ.get("CONTENT_LENGTH") or 0)
+    except ValueError:
+        return None, None
+    body = environ["wsgi.input"].read(length)
+    for part in body.split(b"--" + boundary):
+        if b"Content-Disposition" not in part:
+            continue
+        header_blob, _, content = part.partition(b"\r\n\r\n")
+        header = header_blob.decode("utf-8", "replace")
+        if 'name="file"' not in header:
+            continue
+        fn = re.search(r'filename="([^"]*)"', header)
+        filename = fn.group(1) if fn else ""
+        return filename, content.rstrip(b"\r\n-")
+    return None, None
+
+
+def create_app(model, upload_folder: str = "test",
+               worker: InferenceWorker | None = None):
+    """WSGI app around a ``serveModel``-compatible object."""
+    os.makedirs(upload_folder, exist_ok=True)
+    if worker is None:
+        worker = InferenceWorker(
+            lambda images: [model.predict(img) for img in images]
+        )
+
+    def app(environ, start_response):
+        method = environ.get("REQUEST_METHOD", "GET")
+        path = environ.get("PATH_INFO", "/")
+
+        if path == "/" and method == "GET":
+            log.info("ping received")
+            return _json_response(start_response, "200 OK", {"status": "online"})
+
+        if path == "/api" and method == "POST":
+            filename, content = _parse_multipart(environ)
+            if filename is None:
+                log.warning("no image field in request")
+                return _json_response(
+                    start_response, "403 FORBIDDEN", {"status": "noInput"}
+                )
+            if filename == "" or not content:
+                log.warning("empty upload")
+                return _json_response(
+                    start_response, "403 FORBIDDEN", {"status": "emptyInput"}
+                )
+            if not is_allowed(filename):
+                log.error("file type not accepted: %s", filename)
+                return _json_response(
+                    start_response, "404 NOT FOUND", {"status": "badInput"}
+                )
+            fpath = os.path.join(upload_folder, secure_filename(filename))
+            with open(fpath, "wb") as f:
+                f.write(content)
+            try:
+                from PIL import Image
+
+                image = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+            except Exception:
+                return _json_response(
+                    start_response, "404 NOT FOUND", {"status": "badInput"}
+                )
+            results = worker.submit(image).result()
+            return _json_response(
+                start_response,
+                "200 OK",
+                {"status": "OK", "results": {i: t for i, t in enumerate(results)}},
+            )
+
+        return _json_response(
+            start_response, "404 NOT FOUND", {"status": "notFound"}
+        )
+
+    app.worker = worker
+    return app
+
+
+def run_server(host: str = "0.0.0.0", port: int = 5000, config_file=None,
+               thresh: float = 0.7, config=None):
+    from wsgiref.simple_server import WSGIServer, make_server
+    from socketserver import ThreadingMixIn
+
+    from lightly_ocr_tpu.pipeline import serveModel
+
+    class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    model = serveModel(config_file=config_file, thresh=thresh, config=config)
+    app = create_app(model)
+    httpd = make_server(host, port, app, server_class=ThreadingWSGIServer)
+    log.info("serving on %s:%d", host, port)
+    print(f"serving on {host}:{port}", flush=True)
+    httpd.serve_forever()
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(description="TPU OCR server")
+    parser.add_argument("--docker", action="store_true",
+                        help="accepted for reference CLI compat (no-op)")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--thresh", type=float, default=0.7)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=5000)
+    opt = parser.parse_args(argv)
+    run_server(opt.host, opt.port, opt.config, opt.thresh)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
