@@ -1,0 +1,163 @@
+"""Dataset generation: MJSynth -> records, LMDB -> records, synthetic words.
+
+Counterpart of ``ocr/tools/generator.py``: ``anno2list`` parses MJSynth
+``annotation_*.txt`` where the label is the second ``_``-separated field
+of the filename (``generator.py:27-40``); images failing a decode check
+are skipped and logged to ``error_image.txt`` (``generator.py:66-71``).
+
+``synthesize_words`` has no reference counterpart: it renders random
+charset strings to PNG bytes so training/eval/benchmarks run without the
+(unfetchable) MJSynth tarball.
+"""
+from __future__ import annotations
+
+import io
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from lightly_ocr_tpu.config import DEFAULT_CHARSET
+from lightly_ocr_tpu.data.records import RecordWriter
+
+
+def anno2list(data_dir: str, annotation: str = "annotation_train.txt"):
+    """-> list of (image_path, label) from an MJSynth annotation file."""
+    out = []
+    with open(os.path.join(data_dir, annotation)) as f:
+        for line in f:
+            rel = line.strip().split(" ")[0]
+            if not rel:
+                continue
+            name = os.path.basename(rel)
+            parts = name.split("_")
+            if len(parts) < 2:
+                continue
+            out.append((os.path.join(data_dir, rel), parts[1]))
+    return out
+
+
+def check_image_valid(blob: bytes) -> bool:
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(blob))
+        img.verify()
+        return True
+    except Exception:
+        return False
+
+
+def build_records(
+    samples: Iterable[tuple[str, str]],
+    out_path: str,
+    log_dir: str | None = None,
+) -> int:
+    """Write (path, label) samples into a record file; returns count."""
+    errors = []
+    n = 0
+    with RecordWriter(out_path) as w:
+        for path, label in samples:
+            try:
+                with open(path, "rb") as f:
+                    blob = f.read()
+            except OSError:
+                errors.append(path)
+                continue
+            if not check_image_valid(blob):
+                errors.append(path)
+                continue
+            w.add(label, blob)
+            n += 1
+    if log_dir and errors:
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "error_image.txt"), "a") as f:
+            f.write("\n".join(errors) + "\n")
+    return n
+
+
+def convert_mjsynth(data_dir: str, out_path: str,
+                    annotation: str = "annotation_train.txt",
+                    log_dir: str | None = None) -> int:
+    return build_records(anno2list(data_dir, annotation), out_path, log_dir)
+
+
+def convert_lmdb(lmdb_root: str, out_path: str) -> int:
+    """Reference LMDB -> records (requires the optional lmdb package)."""
+    from lightly_ocr_tpu.data.lmdb_compat import LMDBDataset
+
+    ds = LMDBDataset(lmdb_root, filtering=False)
+    with RecordWriter(out_path) as w:
+        for i in range(len(ds)):
+            label, blob = ds.raw(i)
+            w.add(label, blob)
+    ds.close()
+    return len(ds)
+
+
+def render_word(text: str, rng: np.random.Generator) -> bytes:
+    """Render one word to grayscale PNG bytes (synthetic MJSynth stand-in)."""
+    from PIL import Image, ImageDraw
+
+    h = int(rng.integers(24, 48))
+    w = max(int(len(text) * h * 0.6), 16)
+    bg = int(rng.integers(180, 255))
+    fg = int(rng.integers(0, 80))
+    img = Image.new("L", (w, h), bg)
+    d = ImageDraw.Draw(img)
+    d.text((2, h // 4), text, fill=fg)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def synthesize_words(
+    out_path: str,
+    n: int = 256,
+    charset: str = DEFAULT_CHARSET,
+    min_len: int = 1,
+    max_len: int = 10,
+    seed: int = 4420,
+) -> list[str]:
+    """Write n synthetic word records; returns the labels."""
+    rng = np.random.default_rng(seed)
+    chars = list(charset)
+    labels = []
+    with RecordWriter(out_path) as w:
+        for _ in range(n):
+            k = int(rng.integers(min_len, max_len + 1))
+            text = "".join(rng.choice(chars, size=k))
+            w.add(text, render_word(text, rng))
+            labels.append(text)
+    return labels
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description="dataset generator")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    mj = sub.add_parser("mjsynth", help="MJSynth folder -> records")
+    mj.add_argument("data_dir")
+    mj.add_argument("out")
+    mj.add_argument("--annotation", default="annotation_train.txt")
+    lm = sub.add_parser("lmdb", help="reference LMDB -> records")
+    lm.add_argument("lmdb_root")
+    lm.add_argument("out")
+    sy = sub.add_parser("synth", help="synthetic words -> records")
+    sy.add_argument("out")
+    sy.add_argument("-n", type=int, default=1024)
+    sy.add_argument("--seed", type=int, default=4420)
+    args = p.parse_args(argv)
+    if args.cmd == "mjsynth":
+        n = convert_mjsynth(args.data_dir, args.out, args.annotation)
+    elif args.cmd == "lmdb":
+        n = convert_lmdb(args.lmdb_root, args.out)
+    else:
+        n = len(synthesize_words(args.out, args.n, seed=args.seed))
+    print(f"wrote {n} records to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

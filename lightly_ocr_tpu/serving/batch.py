@@ -1,0 +1,147 @@
+"""Whole-batch OCR as ONE jitted XLA program.
+
+The TPU-throughput path (BASELINE config 5: 64 concurrent receipts):
+``[B, H, W, 3]`` same-bucket canvases -> CRAFT forward -> vmapped
+on-device box extraction -> per-image top-M crops gathered straight from
+the (grayscale) canvases -> one CRNN dispatch over ``B*M`` crops ->
+indices + confidences.  No host roundtrip between stages; the only host
+work is final text decoding.
+
+Note: crops are taken from the detector canvas (already aspect-resized)
+rather than the original image as the reference does (``net.py:108-111``)
+— at canvas scale >= 1x this loses nothing, and it keeps the whole batch
+on device.  The unbatched ``pipeline.getText`` path still crops from the
+original.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightly_ocr_tpu.config import Config
+from lightly_ocr_tpu.models.crnn import CRNNet
+from lightly_ocr_tpu.models.vgg_unet import VGG_UNet
+from lightly_ocr_tpu.ops.crop import crop_resize_normalize_batch
+from lightly_ocr_tpu.ops.detection import get_det_boxes
+from lightly_ocr_tpu.text.converters import build_converter
+
+
+class BatchedOCR:
+    """Compiles one program per (batch, canvas, boxes-per-image) shape."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        det_variables: dict,
+        rec_variables: dict,
+        boxes_per_image: int = 32,
+        dtype: Any = jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.det_net = VGG_UNet(dtype=dtype)
+        self.rec_net = CRNNet(cfg, dtype=dtype)
+        self.det_variables = det_variables
+        self.rec_variables = rec_variables
+        self.boxes_per_image = boxes_per_image
+        self.converter = build_converter(cfg.prediction, cfg.character)
+        self._program = self._build()
+
+    def _build(self):
+        cfg = self.cfg
+        M = self.boxes_per_image
+        det_net, rec_net = self.det_net, self.rec_net
+        is_ctc = cfg.prediction == "CTC"
+
+        @jax.jit
+        def program(det_vars, rec_vars, canvases, gray):
+            # 1) detector forward on the whole batch
+            y, _ = det_net.apply(det_vars, canvases)
+            y = y.astype(jnp.float32)
+
+            # 2) on-device box extraction, vmapped over the batch
+            det = jax.vmap(
+                lambda t, l: get_det_boxes(
+                    t,
+                    l,
+                    text_threshold=cfg.text_threshold,
+                    link_threshold=cfg.link_threshold,
+                    low_text=cfg.low_text,
+                    max_boxes=M,
+                    cc_rounds=cfg.cc_max_iters,
+                )
+            )(y[..., 0], y[..., 1])
+            boxes, valid = det.boxes, det.valid  # [B,M,4,2], [B,M]
+
+            # 3) heatmap -> canvas coords (x2), to row/col rects
+            scaled = boxes * 2.0
+            c0 = jnp.min(scaled[..., 0], axis=2)
+            r0 = jnp.min(scaled[..., 1], axis=2)
+            c1 = jnp.max(scaled[..., 0], axis=2)
+            r1 = jnp.max(scaled[..., 1], axis=2)
+            rects = jnp.stack([r0, c0, r1, c1], axis=-1)  # [B, M, 4]
+            rects = jnp.where(valid[..., None], rects, jnp.asarray([0, 0, 1, 1], jnp.float32))
+
+            # 4) crop every rect from its own gray canvas (one gather)
+            crops = jax.vmap(
+                lambda g, r: crop_resize_normalize_batch(
+                    g, r, cfg.height, cfg.width
+                )
+            )(gray, rects)  # [B, M, h, w, 1]
+            crops = crops.reshape(-1, cfg.height, cfg.width, 1)
+
+            # 5) recognize all B*M crops in one dispatch
+            preds = rec_net.apply(rec_vars, crops, None, False)
+            preds = preds.astype(jnp.float32)
+            probs = jax.nn.softmax(preds, axis=2)
+            max_probs = jnp.max(probs, axis=2)
+            idx = jnp.argmax(preds, axis=2)
+            if is_ctc:
+                conf = jnp.prod(max_probs, axis=1)
+            else:
+                eos = idx == 1
+                before = jnp.cumsum(eos, axis=1) == 0
+                conf = jnp.prod(jnp.where(before, max_probs, 1.0), axis=1)
+                conf = jnp.where(jnp.any(eos, axis=1), conf, 0.0)
+            B = canvases.shape[0]
+            return {
+                "rects": rects,
+                "valid": valid,
+                "pred_idx": idx.reshape(B, M, -1),
+                "confidence": conf.reshape(B, M),
+            }
+
+        return program
+
+    def __call__(self, canvases: jax.Array, gray: jax.Array) -> dict:
+        """canvases [B,H,W,3] normalized; gray [B,H,W] in [0,255]."""
+        return self._program(
+            self.det_variables, self.rec_variables, canvases, gray
+        )
+
+    def decode(self, out: dict) -> list[list[dict]]:
+        """Device outputs -> per-image [{text, confidence, rect}]."""
+        valid = np.asarray(out["valid"])
+        idx = np.asarray(out["pred_idx"])
+        conf = np.asarray(out["confidence"])
+        rects = np.asarray(out["rects"])
+        results = []
+        for b in range(valid.shape[0]):
+            items = []
+            for m in np.nonzero(valid[b])[0]:
+                if self.cfg.prediction == "CTC":
+                    text = self.converter.decode_padded(idx[b, m][None])[0]
+                else:
+                    text = self.converter.decode_trimmed(idx[b, m][None])[0]
+                items.append(
+                    {
+                        "text": text,
+                        "confidence": float(conf[b, m]),
+                        "rect": rects[b, m].tolist(),
+                    }
+                )
+            results.append(items)
+        return results

@@ -1,0 +1,72 @@
+"""Orbax checkpointing: params + batch_stats + optimizer state + step.
+
+Replaces the reference's raw ``torch.save(state_dict)`` files
+(``ocr/train/crnn.py:300-302,323-324``), which dropped optimizer state
+and whose resume path referenced config keys that don't exist
+(``crnn.py:104-109``).  Layout: ``<dir>/<step>/...`` managed by orbax;
+``best`` is tracked in a small JSON sidecar.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+
+def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        ),
+    )
+
+
+def save_checkpoint(directory: str, step: int, state: Any,
+                    metrics: dict | None = None,
+                    max_to_keep: int = 5) -> None:
+    mgr = _manager(directory, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(directory: str) -> int | None:
+    if not os.path.isdir(directory):
+        return None
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(directory: str, template: Any,
+                       step: int | None = None) -> tuple[Any, int]:
+    """Restore into the structure/shardings of ``template``; returns
+    (state, step)."""
+    mgr = _manager(directory)
+    if step is None:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+    state = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return state, step
+
+
+def record_best(directory: str, step: int, metric: float) -> bool:
+    """Track the best eval metric; returns True if this step is the new
+    best (caller then saves/copies)."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, "best.json")
+    best = None
+    if os.path.isfile(path):
+        with open(path) as f:
+            best = json.load(f)
+    if best is None or metric > best["metric"]:
+        with open(path, "w") as f:
+            json.dump({"step": step, "metric": metric}, f)
+        return True
+    return False
