@@ -31,7 +31,7 @@ import numpy as np
 from lightly_ocr_tpu.config import Config
 from lightly_ocr_tpu.models.crnn import CRNNet
 from lightly_ocr_tpu.models.vgg_unet import VGG_UNet
-from lightly_ocr_tpu.ops.crop import crop_resize_normalize_batch
+from lightly_ocr_tpu.ops.crop import crop_resize_normalize_matmul
 from lightly_ocr_tpu.ops.detection import boxes_to_rects, get_det_boxes
 from lightly_ocr_tpu.ops.image import (
     make_detector_input,
@@ -179,6 +179,43 @@ class CRAFT:
             image[r[0] : r[2], r[1] : r[3]] for r in self.detect_rects(image)
         ]
 
+    def detect_polygons(self, image: np.ndarray):
+        """Boxes + (if ``cfg.enable_poly``) refined curved-text polygons.
+
+        Note: the reference computes polys but a bug overwrites them with
+        the boxes before use (``net.py:87``), so its output never reflects
+        them; this API exposes the intended behavior.  Returns
+        (boxes [N,4,2] image coords, polys list of [14,2]|None).
+        """
+        from lightly_ocr_tpu.ops.poly import refine_polygon
+
+        plan = self._plan(image)
+        canvas, _ = make_detector_input(jnp.asarray(image, jnp.float32), plan)
+        y, _ = self.net.apply(self.variables, canvas[None])
+        y = np.asarray(y[0], np.float32)
+        det = get_det_boxes(
+            jnp.asarray(y[..., 0]),
+            jnp.asarray(y[..., 1]),
+            text_threshold=self.cfg.text_threshold,
+            link_threshold=self.cfg.link_threshold,
+            low_text=self.cfg.low_text,
+            max_boxes=self.cfg.max_boxes,
+            cc_rounds=self.cfg.cc_max_iters,
+        )
+        valid = np.asarray(det.valid)
+        boxes_hm = np.asarray(det.boxes)[valid]
+        polys = [None] * len(boxes_hm)
+        if self.cfg.enable_poly:
+            cid = np.asarray(det.cid)
+            polys = [
+                refine_polygon(b, cid, int(k))
+                for k, b in zip(np.nonzero(valid)[0], boxes_hm)
+            ]
+        scale = 2.0 / plan.ratio  # heatmap -> original image
+        boxes = boxes_hm * scale
+        polys = [None if p is None else p * scale for p in polys]
+        return boxes, polys
+
 
 class CRNN:
     """Recognizer engine (counterpart of ``net.py:116-193``)."""
@@ -251,7 +288,9 @@ class CRNN:
 
         @functools.partial(jax.jit, static_argnames=())
         def run(variables, gray, rects):
-            crops = crop_resize_normalize_batch(gray, rects)
+            crops = crop_resize_normalize_matmul(
+                gray, rects, kernel="cubic"
+            )
             return recognize(variables, crops)
 
         return run

@@ -172,29 +172,36 @@ def get_det_boxes(
     geom_ok = ~(link & ~text)  # det_utils.py:60
     cid_geom = jnp.where(geom_ok.reshape(-1), cid, K)
 
-    # --- support sweep: rotated extents for all components & angles ---
+    # --- per-(component, row) extreme columns ---
+    # Convex-hull vertices are always row extremes, so supports over any
+    # direction are exact from <=2 points per row per component.  This is
+    # TWO segment reductions of HW scalars (vs a scatter of [HW, 2D]).
+    seg_row = jnp.minimum(cid_geom, K) * H + rows  # [(K+1)*H) bins
+    lx = jax.ops.segment_min(
+        cols.astype(jnp.float32), seg_row, num_segments=(K + 1) * H
+    ).reshape(K + 1, H)[:K]
+    rx = jax.ops.segment_max(
+        cols.astype(jnp.float32), seg_row, num_segments=(K + 1) * H
+    ).reshape(K + 1, H)[:K]
+    row_has = jnp.isfinite(lx)  # segment_min default = +inf for empties
+    yv = jnp.arange(H, dtype=jnp.float32)[None, :, None]  # [1, H, 1]
+    lx_ = jnp.where(row_has, lx, 0.0)[:, :, None]  # [K, H, 1]
+    rx_ = jnp.where(row_has, rx, 0.0)[:, :, None]
+    big = jnp.float32(1e30)
+    neg = jnp.where(row_has, 0.0, big)[:, :, None]
+    pos = jnp.where(row_has, 0.0, -big)[:, :, None]
+
+    # --- dense support sweep over D angles (theta in [0, 90)) ---
     d = num_angles
     theta = jnp.arange(d, dtype=jnp.float32) * (jnp.pi / 2.0 / d)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    # projection directions u=(c,s) and v=(-s,c), all as one [2, 2d] matrix
-    U = jnp.concatenate(
-        [jnp.stack([c, s], 0), jnp.stack([-s, c], 0)], axis=1
-    )  # [2, 2d]
-    coords = jnp.stack([cols, rows], axis=1).astype(jnp.float32)  # [HW, 2]
-
-    def chunk_minmax(u_chunk):
-        p = coords @ u_chunk  # [HW, chunk] — MXU matmul
-        mx = jax.ops.segment_max(p, cid_geom, num_segments=K + 1)
-        mn = jax.ops.segment_min(p, cid_geom, num_segments=K + 1)
-        return mn[:K], mx[:K]
-
-    n_chunks = 8 if (2 * d) % 8 == 0 else 1
-    u_chunks = jnp.stack(jnp.split(U, n_chunks, axis=1))  # [n, 2, 2d/n]
-    mins, maxs = jax.lax.map(chunk_minmax, u_chunks)
-    smin = jnp.concatenate(list(mins), axis=1)  # [K, 2d]
-    smax = jnp.concatenate(list(maxs), axis=1)
-    ux_min, uy_min = smin[:, :d], smin[:, d:]
-    ux_max, uy_max = smax[:, :d], smax[:, d:]
+    c, s = jnp.cos(theta), jnp.sin(theta)  # c > 0, s >= 0 on [0, 90)
+    cN, sN = c[None, None, :], s[None, None, :]
+    # u=(c,s):  row min at left extreme, row max at right extreme
+    ux_min = jnp.min(lx_ * cN + yv * sN + neg, axis=1)  # [K, D]
+    ux_max = jnp.max(rx_ * cN + yv * sN + pos, axis=1)
+    # v=(-s,c): row min at right extreme, row max at left extreme
+    uy_min = jnp.min(-rx_ * sN + yv * cN + neg, axis=1)
+    uy_max = jnp.max(-lx_ * sN + yv * cN + pos, axis=1)
 
     # dilation in support space: +/- he*(|c|+|s|), center shift for even
     # kernels (OpenCV anchor at K//2 shifts the sum by +0.5 per axis)

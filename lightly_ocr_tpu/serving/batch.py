@@ -25,7 +25,7 @@ import numpy as np
 from lightly_ocr_tpu.config import Config
 from lightly_ocr_tpu.models.crnn import CRNNet
 from lightly_ocr_tpu.models.vgg_unet import VGG_UNet
-from lightly_ocr_tpu.ops.crop import crop_resize_normalize_batch
+from lightly_ocr_tpu.ops.crop import crop_resize_normalize_matmul
 from lightly_ocr_tpu.ops.detection import get_det_boxes
 from lightly_ocr_tpu.text.converters import build_converter
 
@@ -85,10 +85,12 @@ class BatchedOCR:
             rects = jnp.stack([r0, c0, r1, c1], axis=-1)  # [B, M, 4]
             rects = jnp.where(valid[..., None], rects, jnp.asarray([0, 0, 1, 1], jnp.float32))
 
-            # 4) crop every rect from its own gray canvas (one gather)
+            # 4) crop every rect from its own gray canvas — separable
+            # interpolation as two MXU matmuls (cubic kernel = reference's
+            # PIL BICUBIC recognizer feed)
             crops = jax.vmap(
-                lambda g, r: crop_resize_normalize_batch(
-                    g, r, cfg.height, cfg.width
+                lambda g, r: crop_resize_normalize_matmul(
+                    g, r, cfg.height, cfg.width, "cubic"
                 )
             )(gray, rects)  # [B, M, h, w, 1]
             crops = crops.reshape(-1, cfg.height, cfg.width, 1)
