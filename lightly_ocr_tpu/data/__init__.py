@@ -1,4 +1,5 @@
 from lightly_ocr_tpu.data.loader import (  # noqa: F401
+    AlignCollate,
     DataLoader,
     RandomSequentialSampler,
     ShuffleSampler,

@@ -58,6 +58,19 @@ def align_collate(
     return out[..., None], list(labels)
 
 
+class AlignCollate:
+    """Callable-class form of :func:`align_collate` (reference API,
+    ``dataset.py:68-101``)."""
+
+    def __init__(self, height: int = 32, width: int = 100,
+                 keep_ratio: bool = False):
+        self.height, self.width, self.keep_ratio = height, width, keep_ratio
+
+    def __call__(self, batch):
+        batch = [b for b in batch if b is not None]
+        return align_collate(batch, self.height, self.width, self.keep_ratio)
+
+
 class RandomSequentialSampler:
     """Random-start contiguous batches (``dataset.py:104-125`` intent)."""
 
