@@ -121,7 +121,9 @@ class Attention(nn.Module):
                 h, c = lstm_cell_step(inp, h, c, w_ih, w_hh, b_ih, b_hh)
                 return (h, c), h
 
-            _, hs = jax.lax.scan(step, (h0, c0), jnp.swapaxes(onehots, 0, 1))
+            _, hs = jax.lax.scan(
+                step, (h0, c0), jnp.swapaxes(onehots, 0, 1), unroll=13
+            )
             hs = jnp.swapaxes(hs, 0, 1)  # [B, S, H]
             return generator(hs)
 
@@ -137,6 +139,6 @@ class Attention(nn.Module):
 
         prev0 = jnp.zeros((B,), jnp.int32)  # [GO]
         _, probs = jax.lax.scan(
-            step, (h0, c0, prev0), None, length=self.num_steps
+            step, (h0, c0, prev0), None, length=self.num_steps, unroll=13
         )
         return jnp.swapaxes(probs, 0, 1)  # [B, S, C]

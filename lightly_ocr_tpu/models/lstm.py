@@ -62,15 +62,23 @@ def lstm_cell_step(
 
 
 class LSTM(nn.Module):
-    """Single-layer bidirectional LSTM with torch-layout parameters."""
+    """Single-layer bidirectional LSTM with torch-layout parameters.
+
+    Both directions run in ONE scan: the backward direction's projected
+    inputs are time-flipped so each step updates a stacked [2, B, H]
+    state with a single batched matmul — half the scan count and double
+    the per-step MXU work vs. two sequential scans."""
 
     hidden: int
+    unroll: int = 13
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_dim = x.shape[-1]
         H4 = 4 * self.hidden
+        H = self.hidden
+        B = x.shape[0]
 
         def p(name, shape):
             return self.param(
@@ -80,15 +88,43 @@ class LSTM(nn.Module):
                 jnp.float32,
             ).astype(self.dtype)
 
-        outs = []
-        for suffix, reverse in (("l0", False), ("l0_reverse", True)):
+        proj = []
+        w_hh_t = []
+        for suffix in ("l0", "l0_reverse"):
             w_ih = p(f"weight_ih_{suffix}", (H4, in_dim))
             w_hh = p(f"weight_hh_{suffix}", (H4, self.hidden))
             b_ih = p(f"bias_ih_{suffix}", (H4,))
             b_hh = p(f"bias_hh_{suffix}", (H4,))
-            x_proj = x @ w_ih.T + b_ih + b_hh  # [B, T, 4H], one MXU matmul
-            outs.append(_lstm_scan(x_proj, w_hh, self.hidden, reverse=reverse))
-        return jnp.concatenate(outs, axis=-1)  # [B, T, 2H]
+            proj.append(x @ w_ih.T + b_ih + b_hh)  # [B, T, 4H] MXU matmul
+            w_hh_t.append(w_hh.T)
+        # [T, 2, B, 4H]: forward as-is, backward time-flipped
+        xs = jnp.stack(
+            [
+                jnp.swapaxes(proj[0], 0, 1),
+                jnp.swapaxes(jnp.flip(proj[1], 1), 0, 1),
+            ],
+            axis=1,
+        )
+        w_hh_s = jnp.stack(w_hh_t)  # [2, H, 4H]
+
+        h0 = jnp.zeros((2, B, H), self.dtype)
+        c0 = jnp.zeros((2, B, H), self.dtype)
+
+        def step(carry, xp):
+            h, c = carry
+            gates = xp + jnp.einsum(
+                "dbh,dhg->dbg", h, w_hh_s,
+                preferred_element_type=self.dtype,
+            )
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+            h = nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        _, hs = jax.lax.scan(step, (h0, c0), xs, unroll=self.unroll)
+        fwd = jnp.swapaxes(hs[:, 0], 0, 1)  # [B, T, H]
+        bwd = jnp.flip(jnp.swapaxes(hs[:, 1], 0, 1), 1)
+        return jnp.concatenate([fwd, bwd], axis=-1)  # [B, T, 2H]
 
 
 class BidirectionalLSTM(nn.Module):
