@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lightly_ocr_tpu.models.layers import batch_norm, conv, max_pool
-from lightly_ocr_tpu.ops.grid_sample import grid_sample
+from lightly_ocr_tpu.ops.grid_sample import grid_sample, grid_sample_matmul
 
 Dtype = Any
 
@@ -150,6 +150,13 @@ class TPS_STN(nn.Module):
         T = jnp.einsum("ij,bjk->bik", inv_delta_C, cp)
         P_prime = jnp.einsum("nj,bjk->bnk", P_hat, T)  # [B, n, 2]
         grid = P_prime.reshape(B, self.out_h, self.out_w, 2)
-        return grid_sample(
+        # matmul formulation (no gathers) pays off on TPU for crop-sized
+        # images; identical bilinear math either way
+        sampler = (
+            grid_sample_matmul
+            if self.out_h * self.out_w <= 64 * 256
+            else grid_sample
+        )
+        return sampler(
             x, grid.astype(x.dtype), padding_mode="border", align_corners=True
         )

@@ -144,7 +144,8 @@ class DetBoxes(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_boxes", "num_angles", "cc_rounds")
+    jax.jit,
+    static_argnames=("max_boxes", "num_angles", "cc_rounds", "cc_impl"),
 )
 def get_det_boxes(
     textmap: jax.Array,
@@ -155,8 +156,18 @@ def get_det_boxes(
     max_boxes: int = 256,
     num_angles: int = 128,
     cc_rounds: int = 24,
+    cc_impl: str = "xla",
+    precomputed_labels: jax.Array | None = None,
 ) -> DetBoxes:
-    """det_boxes_core (``det_utils.py:35-94``) as a single XLA program."""
+    """det_boxes_core (``det_utils.py:35-94``) as a single XLA program.
+
+    ``cc_impl='pallas'`` runs the CC labeling as a VMEM-resident Pallas
+    kernel (TPU only) — same labels, no HBM roundtrips between scan
+    steps.  When this function is vmapped, pass ``precomputed_labels``
+    from a batched :func:`~lightly_ocr_tpu.ops.pallas_cc.
+    label_components_pallas` call instead (vmap would collapse the
+    Pallas grid into one oversized VMEM block).
+    """
     H, W = textmap.shape
     HW = H * W
     K = max_boxes
@@ -165,21 +176,42 @@ def get_det_boxes(
     link = linkmap > link_threshold
     fg = text | link
 
-    labels = label_components(fg, cc_rounds)  # [H, W], bg = HW
+    if precomputed_labels is not None:
+        labels = jnp.where(fg, precomputed_labels, jnp.int32(HW))
+    elif cc_impl == "pallas":
+        from lightly_ocr_tpu.ops.pallas_cc import label_components_pallas
+
+        labels = label_components_pallas(fg, rounds=min(cc_rounds, 6))
+    else:
+        labels = label_components(fg, cc_rounds)  # [H, W], bg = HW
     flat_labels = labels.reshape(-1)
 
-    # --- per-component stats over HW+1 bins (one pass) ---
+    # --- per-component stats over HW+1 bins ---
+    # Scatters are the expensive primitive here, so everything rides TWO
+    # of them: one scatter-add (area) and one 4-column scatter-max
+    # packing (peak, max x, max y, W-1-x -> min x).  min y is free: the
+    # root label IS the component's first pixel in scan order, so
+    # miny = root // W.
     ones = jnp.ones((HW,), jnp.float32)
     area = jax.ops.segment_sum(ones, flat_labels, num_segments=HW + 1)
-    peak = jax.ops.segment_max(
-        textmap.reshape(-1), flat_labels, num_segments=HW + 1
-    )
     cols = jnp.tile(jnp.arange(W, dtype=jnp.int32), (H,))
     rows = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
-    minx = jax.ops.segment_min(cols, flat_labels, num_segments=HW + 1)
-    maxx = jax.ops.segment_max(cols, flat_labels, num_segments=HW + 1)
-    miny = jax.ops.segment_min(rows, flat_labels, num_segments=HW + 1)
-    maxy = jax.ops.segment_max(rows, flat_labels, num_segments=HW + 1)
+    cols_f = cols.astype(jnp.float32)
+    packed = jnp.stack(
+        [
+            textmap.reshape(-1),
+            cols_f,
+            rows.astype(jnp.float32),
+            (W - 1) - cols_f,
+        ],
+        axis=1,
+    )  # [HW, 4]
+    mx = jax.ops.segment_max(packed, flat_labels, num_segments=HW + 1)
+    peak = mx[:, 0]
+    maxx = mx[:, 1]
+    maxy = mx[:, 2]
+    minx = (W - 1) - mx[:, 3]
+    miny = (jnp.arange(HW + 1, dtype=jnp.int32) // W).astype(jnp.float32)
 
     # --- pick components: root bins with area>=10 and peak>=threshold ---
     root_ids = jnp.arange(HW + 1, dtype=jnp.int32)
@@ -215,13 +247,13 @@ def get_det_boxes(
     # direction are exact from <=2 points per row per component.  This is
     # TWO segment reductions of HW scalars (vs a scatter of [HW, 2D]).
     seg_row = jnp.minimum(cid_geom, K) * H + rows  # [(K+1)*H) bins
-    lx = jax.ops.segment_min(
-        cols.astype(jnp.float32), seg_row, num_segments=(K + 1) * H
-    ).reshape(K + 1, H)[:K]
-    rx = jax.ops.segment_max(
-        cols.astype(jnp.float32), seg_row, num_segments=(K + 1) * H
-    ).reshape(K + 1, H)[:K]
-    row_has = jnp.isfinite(lx)  # segment_min default = +inf for empties
+    packed_rc = jnp.stack([cols_f, (W - 1) - cols_f], axis=1)
+    mx_rc = jax.ops.segment_max(
+        packed_rc, seg_row, num_segments=(K + 1) * H
+    ).reshape(K + 1, H, 2)[:K]
+    rx = mx_rc[..., 0]
+    lx = (W - 1) - mx_rc[..., 1]
+    row_has = jnp.isfinite(rx)  # empty bins = -inf from segment_max
     yv = jnp.arange(H, dtype=jnp.float32)[None, :, None]  # [1, H, 1]
     lx_ = jnp.where(row_has, lx, 0.0)[:, :, None]  # [K, H, 1]
     rx_ = jnp.where(row_has, rx, 0.0)[:, :, None]

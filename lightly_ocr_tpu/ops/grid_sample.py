@@ -106,6 +106,50 @@ def _gather2d(image: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
     return image[batch_idx, iy, ix]
 
 
+def grid_sample_matmul(
+    image: jax.Array,
+    grid: jax.Array,
+    padding_mode: str = "border",
+    align_corners: bool = True,
+) -> jax.Array:
+    """Bilinear grid sample as two dense contractions (no gathers).
+
+    Bilinear interpolation is a 2-tap triangle kernel per axis, so
+    sampling equals ``out[p] = sum_h wy[p,h] * (sum_w img[h,w] *
+    wx[p,w])`` with dense weight matrices that are zero except for two
+    entries per row.  On TPU this trades a slow HBM gather for MXU
+    matmuls — a large win for small images (recognizer crops), the TPS
+    rectifier's exact use case.  Exactly equals :func:`grid_sample`
+    (bilinear, border or zeros padding).
+    """
+    B, H, W, C = image.shape
+    _, Hg, Wg, _ = grid.shape
+    P = Hg * Wg
+    x = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
+    y = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
+    x = x.reshape(B, P)
+    y = y.reshape(B, P)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    elif padding_mode != "zeros":
+        raise ValueError(f"unsupported padding_mode {padding_mode!r}")
+
+    ux = jnp.arange(W, dtype=jnp.float32)
+    uy = jnp.arange(H, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - ux))  # [B, P, W]
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - uy))  # [B, P, H]
+    # zeros padding: out-of-bounds sample points contribute nothing;
+    # the clipped-weight rows already vanish for |x-u| >= 1 outside.
+    tmp = jnp.einsum(
+        "bpw,bhwc->bphc", wx, image, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "bph,bphc->bpc", wy, tmp, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, Hg, Wg, C).astype(image.dtype)
+
+
 def affine_grid(theta: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """torch.nn.functional.affine_grid (align_corners=False semantics).
 
@@ -120,4 +164,4 @@ def affine_grid(theta: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return jnp.einsum("hwk,bjk->bhwj", base, theta)
 
 
-__all__ = ["grid_sample", "affine_grid"]
+__all__ = ["grid_sample", "grid_sample_matmul", "affine_grid"]

@@ -62,9 +62,30 @@ class BatchedOCR:
             y, _ = det_net.apply(det_vars, canvases)
             y = y.astype(jnp.float32)
 
-            # 2) on-device box extraction, vmapped over the batch
+            # 2) on-device box extraction: on TPU the CC labeling runs
+            # batched as a Pallas kernel (grid = one VMEM-resident image
+            # per step; vmapping the kernel would collapse the grid into
+            # one oversized block), then the rest is vmapped with the
+            # labels threaded through.
+            tmaps, lmaps = y[..., 0], y[..., 1]
+            if jax.default_backend() == "tpu":
+                from lightly_ocr_tpu.ops.pallas_cc import (
+                    label_components_pallas,
+                )
+
+                fg = (tmaps > cfg.low_text) | (lmaps > cfg.link_threshold)
+                labels = label_components_pallas(
+                    fg, rounds=min(cfg.cc_max_iters, 6)
+                )
+            else:
+                from lightly_ocr_tpu.ops.detection import label_components
+
+                fg = (tmaps > cfg.low_text) | (lmaps > cfg.link_threshold)
+                labels = jax.vmap(
+                    lambda m: label_components(m, cfg.cc_max_iters)
+                )(fg)
             det = jax.vmap(
-                lambda t, l: get_det_boxes(
+                lambda t, l, lab: get_det_boxes(
                     t,
                     l,
                     text_threshold=cfg.text_threshold,
@@ -72,8 +93,9 @@ class BatchedOCR:
                     low_text=cfg.low_text,
                     max_boxes=M,
                     cc_rounds=cfg.cc_max_iters,
+                    precomputed_labels=lab,
                 )
-            )(y[..., 0], y[..., 1])
+            )(tmaps, lmaps, labels)
             boxes, valid = det.boxes, det.valid  # [B,M,4,2], [B,M]
 
             # 3) heatmap -> canvas coords (x2), to row/col rects

@@ -97,3 +97,23 @@ def test_shape_validation():
         grid_sample(
             np.zeros((1, 4, 4, 1)), np.zeros((1, 2, 2, 2)), padding_mode="reflection"
         )
+
+
+def test_grid_sample_matmul_equals_gather(rng):
+    from lightly_ocr_tpu.ops.grid_sample import grid_sample_matmul
+
+    img = rng.random((3, 16, 20, 2)).astype(np.float32)
+    grid = (rng.random((3, 8, 9, 2)).astype(np.float32) - 0.5) * 2.4
+    ref = np.asarray(grid_sample(img, grid, "border", True))
+    out = np.asarray(grid_sample_matmul(img, grid, "border", True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_grid_sample_matmul_matches_torch(rng):
+    from lightly_ocr_tpu.ops.grid_sample import grid_sample_matmul
+
+    img = rng.random((2, 32, 100, 1)).astype(np.float32)
+    grid = (rng.random((2, 32, 100, 2)).astype(np.float32) - 0.5) * 2.2
+    ours = np.asarray(grid_sample_matmul(img, grid, "border", True))
+    ref = _torch_gs(img, grid, "border", True)
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
