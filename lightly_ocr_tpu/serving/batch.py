@@ -146,6 +146,44 @@ class BatchedOCR:
             self.det_variables, self.rec_variables, canvases, gray
         )
 
+    def run_images(self, images: list) -> list[list[dict]]:
+        """Host convenience: RGB uint8 images (same canvas bucket) ->
+        per-image [{text, confidence, rect}] with rects mapped back to
+        original-image coordinates."""
+        import numpy as np
+
+        from lightly_ocr_tpu.ops.image import (
+            make_detector_input,
+            pick_canvas_bucket,
+            plan_aspect_resize,
+            resize_bilinear,
+            rgb_to_gray,
+        )
+
+        cfg = self.cfg
+        h, w = images[0].shape[:2]
+        bucket = pick_canvas_bucket(h, w, cfg.canvas_size, cfg.magnify_ratio)
+        plan = plan_aspect_resize(
+            h, w, cfg.canvas_size, cfg.magnify_ratio, canvas_bucket=bucket
+        )
+        canv, grays = [], []
+        for img in images:
+            c, _ = make_detector_input(jnp.asarray(img, jnp.float32), plan)
+            canv.append(c)
+            g = rgb_to_gray(jnp.asarray(img, jnp.float32))
+            gc = jnp.zeros((plan.canvas_h, plan.canvas_w), jnp.float32)
+            g = jax.image.resize(
+                g, (plan.target_h, plan.target_w), "bilinear"
+            )
+            grays.append(jax.lax.dynamic_update_slice(gc, g, (0, 0)))
+        out = self(jnp.stack(canv), jnp.stack(grays))
+        results = self.decode(out)
+        scale = 1.0 / plan.ratio  # canvas -> original image coords
+        for items in results:
+            for it in items:
+                it["rect"] = [round(v * scale) for v in it["rect"]]
+        return results
+
     def decode(self, out: dict) -> list[list[dict]]:
         """Device outputs -> per-image [{text, confidence, rect}]."""
         valid = np.asarray(out["valid"])

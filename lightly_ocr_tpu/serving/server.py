@@ -193,8 +193,52 @@ def create_app(model, upload_folder: str = "test",
     return app
 
 
+class BatchedServeModel:
+    """serveModel-compatible wrapper over the single-program batched OCR
+    path (BASELINE config 5: concurrent receipts -> one dispatch).
+
+    The InferenceWorker hands it a list of images; same-shaped groups go
+    through :class:`BatchedOCR` together.
+    """
+
+    def __init__(self, config=None, thresh: float = 0.7,
+                 boxes_per_image: int = 32):
+        from lightly_ocr_tpu.config import Config
+        from lightly_ocr_tpu.engines import CRAFT, CRNN
+        from lightly_ocr_tpu.serving.batch import BatchedOCR
+
+        self.config = config or Config()
+        self.thresh = float(thresh)
+        det = CRAFT(self.config)
+        rec = CRNN(self.config)
+        self.detector, self.recognizer = det, rec
+        self.ocr = BatchedOCR(
+            self.config, det.variables, rec.variables,
+            boxes_per_image=boxes_per_image,
+        )
+
+    def predict_many(self, images: list) -> list[list[str]]:
+        import numpy as np
+
+        out: list = [None] * len(images)
+        groups: dict = {}
+        for i, img in enumerate(images):
+            groups.setdefault(np.asarray(img).shape, []).append(i)
+        for _, idxs in groups.items():
+            res = self.ocr.run_images([np.asarray(images[i]) for i in idxs])
+            for i, items in zip(idxs, res):
+                out[i] = [
+                    it["text"] for it in items
+                    if it["confidence"] > self.thresh
+                ]
+        return out
+
+    def predict(self, image) -> list[str]:
+        return self.predict_many([image])[0]
+
+
 def run_server(host: str = "0.0.0.0", port: int = 5000, config_file=None,
-               thresh: float = 0.7, config=None):
+               thresh: float = 0.7, config=None, batched: bool = False):
     from wsgiref.simple_server import WSGIServer, make_server
     from socketserver import ThreadingMixIn
 
@@ -202,6 +246,21 @@ def run_server(host: str = "0.0.0.0", port: int = 5000, config_file=None,
 
     class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
         daemon_threads = True
+
+    if batched:
+        from lightly_ocr_tpu.config import load_config
+
+        model = BatchedServeModel(
+            config=config or load_config(config_file), thresh=thresh
+        )
+        worker = InferenceWorker(model.predict_many)
+        app = create_app(model, worker=worker)
+        httpd = make_server(host, port, app,
+                            server_class=ThreadingWSGIServer)
+        log.info("serving (batched) on %s:%d", host, port)
+        print(f"serving on {host}:{port}", flush=True)
+        httpd.serve_forever()
+        return
 
     model = serveModel(config_file=config_file, thresh=thresh, config=config)
     app = create_app(model)
@@ -220,8 +279,12 @@ def main(argv=None) -> int:
     parser.add_argument("--thresh", type=float, default=0.7)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=5000)
+    parser.add_argument("--batched", action="store_true",
+                        help="route concurrent requests through the "
+                             "single-program batched OCR path")
     opt = parser.parse_args(argv)
-    run_server(opt.host, opt.port, opt.config, opt.thresh)
+    run_server(opt.host, opt.port, opt.config, opt.thresh,
+               batched=opt.batched)
     return 0
 
 

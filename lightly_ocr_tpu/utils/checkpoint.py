@@ -56,6 +56,14 @@ def restore_checkpoint(directory: str, template: Any,
     return state, step
 
 
+def load_variables_for_inference(directory: str, template_state: Any,
+                                 step: int | None = None) -> dict:
+    """Restore a TrainState checkpoint and repackage as the
+    {'params', 'batch_stats'} variables dict the inference engines use."""
+    state, _ = restore_checkpoint(directory, template_state, step)
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
 def record_best(directory: str, step: int, metric: float) -> bool:
     """Track the best eval metric; returns True if this step is the new
     best (caller then saves/copies)."""

@@ -182,3 +182,55 @@ def test_trainer_overfits_tiny_dataset(tmp_path):
     assert os.path.isfile(os.path.join(cfg.log_dir, "log_config.txt"))
     # eval ran and produced a finite accuracy
     assert trainer.best_acc >= 0.0
+
+
+def test_checkpoint_to_inference_bridge(tmp_path, rng):
+    """Trained state -> engine variables -> recognition runs."""
+    from lightly_ocr_tpu.engines import CRNN
+    from lightly_ocr_tpu.utils.checkpoint import (
+        load_variables_for_inference,
+        save_checkpoint,
+    )
+
+    cfg = tiny_cfg("CTC")
+    model, state = init_train_state(cfg, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    batch, _ = make_batch(cfg, rng)
+    state, _ = step(state, batch)
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, 1, state)
+
+    variables = load_variables_for_inference(d, state)
+    rec = CRNN(cfg, variables=variables)
+    texts, confs = rec.recognize_crops(
+        jnp.asarray(rng.standard_normal((2, 32, 64, 1)).astype(np.float32))
+    )
+    assert len(texts) == 2 and confs.shape == (2,)
+
+
+def test_torch_pth_checkpoint_loading(tmp_path, rng):
+    """A real torch.save'd .pth loads into the engines."""
+    torch = pytest.importorskip("torch")
+    from lightly_ocr_tpu.models import BidirectionalLSTM
+    from lightly_ocr_tpu.utils.torch_import import (
+        export_torch_state_dict,
+        import_torch_state_dict,
+        load_torch_checkpoint,
+    )
+
+    model = BidirectionalLSTM(8, 8)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    sd = {
+        k: torch.from_numpy(np.asarray(v))
+        for k, v in export_torch_state_dict(variables).items()
+    }
+    path = str(tmp_path / "m.pth")
+    torch.save(sd, path)
+    loaded = load_torch_checkpoint(path)
+    back = import_torch_state_dict(variables, loaded)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(variables, x)),
+        np.asarray(model.apply(back, x)),
+        atol=1e-6,
+    )
