@@ -186,74 +186,100 @@ def get_det_boxes(
         labels = label_components(fg, cc_rounds)  # [H, W], bg = HW
     flat_labels = labels.reshape(-1)
 
-    # --- per-component stats over HW+1 bins ---
-    # Scatters are the expensive primitive here, so everything rides TWO
-    # of them: one scatter-add (area) and one 4-column scatter-max
-    # packing (peak, max x, max y, W-1-x -> min x).  min y is free: the
-    # root label IS the component's first pixel in scan order, so
-    # miny = root // W.
-    ones = jnp.ones((HW,), jnp.float32)
-    area = jax.ops.segment_sum(ones, flat_labels, num_segments=HW + 1)
+    # --- candidate-first, scatter-free statistics ---
+    # TPU scatters move ~0.5 GB/s regardless of index pattern (measured),
+    # so per-component stats avoid them entirely: pick candidate roots
+    # straight from the labels (a root's label IS its linear index), map
+    # pixels to a small candidate id by binary search, then reduce every
+    # statistic as dense masked min/max/sum over the K2 candidate bins —
+    # pure fused VPU work.  Cap: 2*max_boxes candidates pre-filter (the
+    # reference has no cap; overflow drops trailing components).
+    K2 = 2 * K
+    lin = jnp.arange(HW, dtype=jnp.int32)
+    roots_flat = flat_labels == lin
+    cand = -jax.lax.top_k(jnp.where(roots_flat, -lin, -_BIG), K2)[0]
+    cand_valid = cand < _BIG  # ascending root ids, padded with _BIG
+
+    cid1 = jnp.clip(jnp.searchsorted(cand, flat_labels), 0, K2 - 1)
+    cid1 = jnp.where(jnp.take(cand, cid1) == flat_labels, cid1, K2)
+
     cols = jnp.tile(jnp.arange(W, dtype=jnp.int32), (H,))
     rows = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
     cols_f = cols.astype(jnp.float32)
-    packed = jnp.stack(
-        [
-            textmap.reshape(-1),
-            cols_f,
-            rows.astype(jnp.float32),
-            (W - 1) - cols_f,
-        ],
-        axis=1,
-    )  # [HW, 4]
-    mx = jax.ops.segment_max(packed, flat_labels, num_segments=HW + 1)
-    peak = mx[:, 0]
-    maxx = mx[:, 1]
-    maxy = mx[:, 2]
-    minx = (W - 1) - mx[:, 3]
-    miny = (jnp.arange(HW + 1, dtype=jnp.int32) // W).astype(jnp.float32)
+    rows_f = rows.astype(jnp.float32)
+    tmap_flat = textmap.reshape(-1)
 
-    # --- pick components: root bins with area>=10 and peak>=threshold ---
-    root_ids = jnp.arange(HW + 1, dtype=jnp.int32)
-    is_root = (area > 0) & (root_ids < HW)
-    keep = is_root & (area >= 10) & (peak >= text_threshold)
-    # stable compaction in scan order (matches cv2's label ordering);
-    # top_k of the negated keys = the K smallest kept root ids, WITHOUT
-    # sorting all HW bins (argsort of 196k+ keys is a major TPU cost)
-    neg_keys = jnp.where(keep, -root_ids, -_BIG)
-    order = -jax.lax.top_k(neg_keys, K)[0]
-    valid = keep[order]
+    chunk = min(64, K2)
 
-    k_area = area[order]
-    k_w = (maxx[order] - minx[order] + 1).astype(jnp.float32)
-    k_h = (maxy[order] - miny[order] + 1).astype(jnp.float32)
+    def stats_chunk(k0):
+        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+        m = cid1[None, :] == ks[:, None]  # [chunk, HW]
+        neg_inf = jnp.float32(-1e30)
+        pos_inf = jnp.float32(1e30)
+        return (
+            jnp.sum(m, axis=1).astype(jnp.float32),  # area
+            jnp.max(jnp.where(m, tmap_flat[None], neg_inf), axis=1),  # peak
+            jnp.max(jnp.where(m, cols_f[None], neg_inf), axis=1),  # maxx
+            jnp.min(jnp.where(m, cols_f[None], pos_inf), axis=1),  # minx
+            jnp.max(jnp.where(m, rows_f[None], neg_inf), axis=1),  # maxy
+        )
+
+    starts = jnp.arange(0, K2, chunk, dtype=jnp.int32)
+    area, peak, maxx, minx, maxy = (
+        x.reshape(-1) for x in jax.lax.map(stats_chunk, starts)
+    )
+    miny = (cand // W).astype(jnp.float32)
+
+    keep = cand_valid & (area >= 10) & (peak >= text_threshold)
+
+    # --- compact K2 -> K slots, preserving scan order ---
+    rank = jnp.cumsum(keep) - 1
+    slot = jnp.where(keep & (rank < K), rank, K)
+    sel = (
+        jnp.full((K + 1,), K2, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(K2, dtype=jnp.int32), mode="drop")[:K]
+    )
+    valid = sel < K2
+    sel_c = jnp.minimum(sel, K2 - 1)
+
+    k_area = jnp.where(valid, area[sel_c], 0.0)
+    k_w = jnp.where(valid, maxx[sel_c] - minx[sel_c] + 1.0, 1.0)
+    k_h = jnp.where(valid, maxy[sel_c] - miny[sel_c] + 1.0, 1.0)
     # niter = floor(sqrt(size * min(w,h) / (w*h)) * 2)   (det_utils.py:63)
     niter = jnp.floor(
-        jnp.sqrt(k_area * jnp.minimum(k_w, k_h) / (k_w * k_h)) * 2.0
+        jnp.sqrt(k_area * jnp.minimum(k_w, k_h) / jnp.maximum(k_w * k_h, 1.0))
+        * 2.0
     )
     he = niter / 2.0  # Minkowski half-extent of the (1+niter) box kernel
     shift = jnp.where(jnp.mod(niter, 2.0) == 1.0, 0.5, 0.0)  # even kernel
 
-    # --- compact id per pixel; drop link-only pixels from geometry ---
-    table = jnp.full((HW + 1,), K, jnp.int32).at[order].set(
-        jnp.where(valid, jnp.arange(K, dtype=jnp.int32), K)
+    # --- final compact id per pixel; drop link-only pixels from geometry
+    table2 = jnp.concatenate(
+        [slot.astype(jnp.int32), jnp.full((1,), K, jnp.int32)]
     )
-    cid = table[flat_labels]
+    cid = jnp.take(table2, cid1)
     geom_ok = ~(link & ~text)  # det_utils.py:60
     cid_geom = jnp.where(geom_ok.reshape(-1), cid, K)
 
-    # --- per-(component, row) extreme columns ---
+    # --- per-(component, row) extreme columns, also scatter-free ---
     # Convex-hull vertices are always row extremes, so supports over any
-    # direction are exact from <=2 points per row per component.  This is
-    # TWO segment reductions of HW scalars (vs a scatter of [HW, 2D]).
-    seg_row = jnp.minimum(cid_geom, K) * H + rows  # [(K+1)*H) bins
-    packed_rc = jnp.stack([cols_f, (W - 1) - cols_f], axis=1)
-    mx_rc = jax.ops.segment_max(
-        packed_rc, seg_row, num_segments=(K + 1) * H
-    ).reshape(K + 1, H, 2)[:K]
-    rx = mx_rc[..., 0]
-    lx = (W - 1) - mx_rc[..., 1]
-    row_has = jnp.isfinite(rx)  # empty bins = -inf from segment_max
+    # direction are exact from <=2 points per row per component.
+    cid2d = cid_geom.reshape(H, W)
+    cols2d = cols_f.reshape(H, W)
+
+    def rowext_chunk(k0):
+        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+        m = cid2d[None] == ks[:, None, None]  # [chunk, H, W]
+        rx_c = jnp.max(jnp.where(m, cols2d[None], -1e30), axis=2)
+        lx_c = jnp.min(jnp.where(m, cols2d[None], 1e30), axis=2)
+        return lx_c, rx_c
+
+    k_starts = jnp.arange(0, K, chunk if K >= chunk else K, dtype=jnp.int32)
+    lx_chunks, rx_chunks = jax.lax.map(rowext_chunk, k_starts)
+    lx = lx_chunks.reshape(-1, H)[:K]
+    rx = rx_chunks.reshape(-1, H)[:K]
+    row_has = rx > -1e29
     yv = jnp.arange(H, dtype=jnp.float32)[None, :, None]  # [1, H, 1]
     lx_ = jnp.where(row_has, lx, 0.0)[:, :, None]  # [K, H, 1]
     rx_ = jnp.where(row_has, rx, 0.0)[:, :, None]

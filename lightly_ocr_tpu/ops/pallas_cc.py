@@ -68,19 +68,27 @@ def _cc_kernel(rounds: int, fg_ref, out_ref):
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     lin = row_idx * W + col_idx
 
-    # Per-direction segment ids = position of the nearest background cell
-    # behind the scan direction.
-    segL = _scan_extreme(jnp.where(bg, col_idx, -1), 1, W, False, jnp.maximum)
-    segR = _scan_extreme(jnp.where(bg, col_idx, W), 1, W, True, jnp.minimum)
-    segT = _scan_extreme(jnp.where(bg, row_idx, -1), 0, H, False, jnp.maximum)
-    segB = _scan_extreme(jnp.where(bg, row_idx, H), 0, H, True, jnp.minimum)
+    # Segment ids (position of the nearest background cell behind the
+    # scan direction) are recomputed per use: keeping all four alive for
+    # the whole unrolled kernel blows the VMEM stack budget.
+    def scan_dir(labels, axis, size, backward):
+        idx = col_idx if axis == 1 else row_idx
+        if backward:
+            seg = _scan_extreme(
+                jnp.where(bg, idx, size), axis, size, True, jnp.minimum
+            )
+        else:
+            seg = _scan_extreme(
+                jnp.where(bg, idx, -1), axis, size, False, jnp.maximum
+            )
+        return _segmented_min(labels, seg, axis, size, backward)
 
     labels = jnp.where(fg, lin, _BIG)
     for _ in range(rounds):
-        labels = _segmented_min(labels, segL, 1, W, False)
-        labels = _segmented_min(labels, segR, 1, W, True)
-        labels = _segmented_min(labels, segT, 0, H, False)
-        labels = _segmented_min(labels, segB, 0, H, True)
+        labels = scan_dir(labels, 1, W, False)
+        labels = scan_dir(labels, 1, W, True)
+        labels = scan_dir(labels, 0, H, False)
+        labels = scan_dir(labels, 0, H, True)
         labels = jnp.where(fg, labels, _BIG)
 
     out_ref[0] = jnp.where(fg, labels, jnp.int32(H * W))
@@ -99,15 +107,30 @@ def label_components_pallas(
         return label_components_pallas(fg[None], rounds, interpret)[0]
     B, H, W = fg.shape
     kernel = functools.partial(_cc_kernel, rounds)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
-        interpret=interpret,
-    )(fg.astype(jnp.int32))
+
+    def run(chunk):
+        b = chunk.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, H, W), jnp.int32),
+            interpret=interpret,
+        )(chunk)
+
+    x = fg.astype(jnp.int32)
+    # Chunk the batch: XLA stages the whole pallas operand in VMEM on
+    # this toolchain, so cap the per-call footprint at ~3 MB in + out.
+    per = max(1, min(B, (4 * 1024 * 1024) // (H * W * 4)))
+    if B <= per:
+        return run(x)
+    if B % per:
+        pad = per - (B % per)
+        x = jnp.concatenate([x, jnp.zeros((pad, H, W), jnp.int32)], 0)
+    out = jax.lax.map(run, x.reshape(-1, per, H, W))
+    return out.reshape(-1, H, W)[:B]
