@@ -25,73 +25,63 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 2**30  # plain int: a jnp scalar would be a captured constant
 
 
-def _scan_extreme(x, axis: int, size: int, backward: bool, op):
-    """Running ``op`` (max/min) along ``axis``; forward = toward higher
-    index, backward = toward lower.  Hillis-Steele doubling on rolls."""
-    shift = 1
-    while shift < size:
-        if backward:
-            rolled = pltpu.roll(x, size - shift, axis=axis)  # x[i+shift]
-        else:
-            rolled = pltpu.roll(x, shift, axis=axis)  # x[i-shift]
-        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-        ok = (idx < size - shift) if backward else (idx >= shift)
-        x = jnp.where(ok, op(x, rolled), x)
-        shift *= 2
-    return x
-
-
-def _segmented_min(values, seg, axis: int, size: int, backward: bool):
-    """Min within segments along ``axis`` in the given direction."""
-    shift = 1
-    while shift < size:
-        if backward:
-            rolled_v = pltpu.roll(values, size - shift, axis=axis)
-            rolled_s = pltpu.roll(seg, size - shift, axis=axis)
-        else:
-            rolled_v = pltpu.roll(values, shift, axis=axis)
-            rolled_s = pltpu.roll(seg, shift, axis=axis)
-        idx = jax.lax.broadcasted_iota(jnp.int32, values.shape, axis)
-        ok = (idx < size - shift) if backward else (idx >= shift)
-        ok = ok & (rolled_s == seg)
-        values = jnp.where(ok, jnp.minimum(values, rolled_v), values)
-        shift *= 2
-    return values
-
-
-def _cc_kernel(rounds: int, fg_ref, out_ref):
+def _cc_kernel(rounds: int, fg_ref, out_ref, lab_ref, seg_ref):
+    """Scratch-ref formulation: every doubling step writes back through
+    VMEM scratch so Mosaic reuses two map-sized buffers instead of
+    stacking the whole unrolled expression chain (which blew the 16 MB
+    scoped-VMEM budget)."""
     _, H, W = fg_ref.shape
-    fg = fg_ref[0] != 0
-    bg = ~fg
 
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    lin = row_idx * W + col_idx
 
-    # Segment ids (position of the nearest background cell behind the
-    # scan direction) are recomputed per use: keeping all four alive for
-    # the whole unrolled kernel blows the VMEM stack budget.
-    def scan_dir(labels, axis, size, backward):
+    def bg():
+        return fg_ref[0] == 0
+
+    lab_ref[:] = jnp.where(bg(), _BIG, row_idx * W + col_idx)
+
+    def scan_dir(axis: int, size: int, backward: bool):
         idx = col_idx if axis == 1 else row_idx
+        # segment ids: nearest background position behind the direction
         if backward:
-            seg = _scan_extreme(
-                jnp.where(bg, idx, size), axis, size, True, jnp.minimum
-            )
+            seg_ref[:] = jnp.where(bg(), idx, size)
         else:
-            seg = _scan_extreme(
-                jnp.where(bg, idx, -1), axis, size, False, jnp.maximum
+            seg_ref[:] = jnp.where(bg(), idx, -1)
+        shift = 1
+        while shift < size:
+            amt = size - shift if backward else shift
+            rolled = pltpu.roll(seg_ref[:], amt, axis=axis)
+            ok = (idx < size - shift) if backward else (idx >= shift)
+            if backward:
+                seg_ref[:] = jnp.where(
+                    ok, jnp.minimum(seg_ref[:], rolled), seg_ref[:]
+                )
+            else:
+                seg_ref[:] = jnp.where(
+                    ok, jnp.maximum(seg_ref[:], rolled), seg_ref[:]
+                )
+            shift *= 2
+        # segmented min of labels within runs
+        shift = 1
+        while shift < size:
+            amt = size - shift if backward else shift
+            rolled_v = pltpu.roll(lab_ref[:], amt, axis=axis)
+            rolled_s = pltpu.roll(seg_ref[:], amt, axis=axis)
+            ok = (idx < size - shift) if backward else (idx >= shift)
+            ok = ok & (rolled_s == seg_ref[:])
+            lab_ref[:] = jnp.where(
+                ok, jnp.minimum(lab_ref[:], rolled_v), lab_ref[:]
             )
-        return _segmented_min(labels, seg, axis, size, backward)
+            shift *= 2
 
-    labels = jnp.where(fg, lin, _BIG)
     for _ in range(rounds):
-        labels = scan_dir(labels, 1, W, False)
-        labels = scan_dir(labels, 1, W, True)
-        labels = scan_dir(labels, 0, H, False)
-        labels = scan_dir(labels, 0, H, True)
-        labels = jnp.where(fg, labels, _BIG)
+        scan_dir(1, W, False)
+        scan_dir(1, W, True)
+        scan_dir(0, H, False)
+        scan_dir(0, H, True)
+        lab_ref[:] = jnp.where(bg(), _BIG, lab_ref[:])
 
-    out_ref[0] = jnp.where(fg, labels, jnp.int32(H * W))
+    out_ref[0] = jnp.where(bg(), jnp.int32(H * W), lab_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "interpret"))
@@ -120,6 +110,10 @@ def label_components_pallas(
             out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, H, W), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((H, W), jnp.int32),
+                pltpu.VMEM((H, W), jnp.int32),
+            ],
             interpret=interpret,
         )(chunk)
 
