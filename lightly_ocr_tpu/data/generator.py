@@ -96,16 +96,24 @@ def convert_lmdb(lmdb_root: str, out_path: str) -> int:
 
 
 def render_word(text: str, rng: np.random.Generator) -> bytes:
-    """Render one word to grayscale PNG bytes (synthetic MJSynth stand-in)."""
-    from PIL import Image, ImageDraw
+    """Render one word to grayscale PNG bytes (synthetic MJSynth stand-in).
+
+    The glyphs scale with the image height (PIL's default bitmap font is
+    ~11 px regardless of canvas; characters must fill the crop or the
+    32x100 recognizer input degenerates to specks)."""
+    from PIL import Image, ImageDraw, ImageFont
 
     h = int(rng.integers(24, 48))
-    w = max(int(len(text) * h * 0.6), 16)
+    w = max(int(len(text) * h * 0.62) + 6, 16)
     bg = int(rng.integers(180, 255))
     fg = int(rng.integers(0, 80))
     img = Image.new("L", (w, h), bg)
     d = ImageDraw.Draw(img)
-    d.text((2, h // 4), text, fill=fg)
+    try:
+        font = ImageFont.load_default(size=int(h * 0.62))
+    except TypeError:  # older Pillow without sized default font
+        font = ImageFont.load_default()
+    d.text((3, int(h * 0.12)), text, fill=fg, font=font)
     buf = io.BytesIO()
     img.save(buf, format="PNG")
     return buf.getvalue()
