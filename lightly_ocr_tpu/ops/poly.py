@@ -1,19 +1,31 @@
-"""Polygon refinement for curved text (the ``enable_poly`` path).
+"""Curved-text polygon refinement (the ``enable_poly`` detector mode).
 
-Host-side counterpart of ``ocr/tools/det_utils.py:97-245`` (``poly_core``)
-— disabled by default in the reference (``net.py:50``) and here, but kept
-for feature parity.  The reference leans on cv2 (getPerspectiveTransform,
-warpPerspective, line); this is dependency-free numpy: the 4-point
-homography is solved directly, the label patch is warped by inverse
-nearest-neighbor mapping, and the edge-search "line draw" is a dense
-sample along the segment.
+Behavioral counterpart of the reference's polygon post-pass
+(``ocr/tools/det_utils.py:97-245``), which is disabled by default there
+(``net.py:50``) and here.  Given a word's min-area rectangle and the
+component label map, it decides whether the word is curved enough to
+deserve a 14-point polygon hugging the text line, and builds one.
 
-Geometry reproduced: per box, scan warped columns for top/bottom label
-contours; reject if the max contour height is close to the box height
-(``max_len_ratio`` 0.7); pick 5 pivot points from 11 segments; expand by
-``expand_ratio`` 1.45 around the local gradient; search outward (r in
-[0.5, 2.0) step 0.2) for start/end edges clear of the label; unwarp the
-14-point polygon.
+This implementation is a vectorized re-derivation, not a port: the
+rectified component is analyzed as whole-array column statistics (top /
+bottom envelope, thickness) computed with argmax reductions, strips are
+assigned with a closed-form saturating counter, and pivot selection is a
+grouped argmax — there is no per-column Python loop.  cv2 is not used:
+the 4-point homography is an 8x8 linear solve, rectification is an
+inverse-mapped nearest gather, and the clearance test samples the segment
+densely instead of rasterizing a Bresenham line.
+
+Pipeline per box (all thresholds are the reference's):
+  rectify -> column envelope -> reject straight/short words -> split the
+  width into 11 strips -> per odd strip, pivot at the thickest column ->
+  perpendicular cross-bars of length 1.45 * median thickness -> extend the
+  first/last bars outward until they clear the component -> unwarp.
+
+Known deviation (documented, not output-visible on contiguous words): the
+reference averages a strip's centroid only when its column scan crosses a
+strip boundary, so with multi-strip gaps the final strip can keep raw
+sums; here every strip is averaged.  Words with columns in every strip —
+the only ones that survive the pivot checks — behave identically.
 """
 from __future__ import annotations
 
@@ -21,11 +33,12 @@ import math
 
 import numpy as np
 
-NUM_CP = 5
-MAX_LEN_RATIO = 0.7
-EXPAND_RATIO = 1.45
-MAX_R = 2.0
-STEP_R = 0.2
+# Reference thresholds (det_utils.py:99-103).
+PIVOTS = 5  # pivot count -> 2*PIVOTS+1 strips
+STRAIGHT_RATIO = 0.7  # reject if thickness ~ box height
+THICKNESS_GAIN = 1.45  # cross-bar length / median thickness
+REACH_LIMIT = 2.0  # outward search range (in bar lengths)
+REACH_STEP = 0.2
 
 
 def perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
@@ -56,138 +69,164 @@ def warp_nearest(labels: np.ndarray, M: np.ndarray, w: int, h: int) -> np.ndarra
     return out.reshape(h, w)
 
 
-def _warp_coord(Minv: np.ndarray, pt) -> np.ndarray:
-    v = Minv @ np.asarray([pt[0], pt[1], 1.0])
+def _unwarp(Minv: np.ndarray, xy) -> np.ndarray:
+    v = Minv @ np.asarray([xy[0], xy[1], 1.0])
     return np.asarray([v[0] / v[2], v[1] / v[2]])
 
 
-def _segment_hits_label(word_label: np.ndarray, p) -> bool:
-    """Dense sampling along segment (p[0],p[1])-(p[2],p[3]) (the cv2.line
-    + logical_and test, det_utils.py:208-222)."""
-    n = int(max(abs(p[2] - p[0]), abs(p[3] - p[1]))) * 2 + 2
-    xs = np.round(np.linspace(p[0], p[2], n)).astype(np.int64)
-    ys = np.round(np.linspace(p[1], p[3], n)).astype(np.int64)
-    ok = (xs >= 0) & (xs < word_label.shape[1]) & \
-         (ys >= 0) & (ys < word_label.shape[0])
-    if not ok.any():
-        return False
-    return bool(word_label[ys[ok], xs[ok]].any())
+def _column_envelope(mask: np.ndarray):
+    """Per-column top/bottom y of a bool mask, restricted to columns with
+    >= 2 set pixels.  Vectorized: top = argmax down, bottom = argmax up.
+
+    Returns (xs, top, bottom) as int arrays over the kept columns, in x
+    order.
+    """
+    counts = mask.sum(axis=0)
+    keep = counts >= 2
+    xs = np.flatnonzero(keep)
+    if xs.size == 0:
+        return xs, xs, xs
+    sub = mask[:, xs]
+    top = sub.argmax(axis=0)
+    bottom = mask.shape[0] - 1 - sub[::-1].argmax(axis=0)
+    return xs, top, bottom
+
+
+def _strip_of(xs: np.ndarray, strip_w: float, n_strips: int) -> np.ndarray:
+    """Strip index per column under the reference's scan semantics.
+
+    The reference walks populated columns left to right and advances its
+    strip counter AT MOST ONCE per column, so after a gap spanning
+    multiple strips the attribution lags behind the geometric strip.  The
+    closed form of that saturating counter is
+    ``strip[j] = min_{k<=j} (geom[k] + (j - k))`` — a running minimum of
+    ``geom - index``.
+    """
+    geom = np.minimum((xs / strip_w).astype(np.int64), n_strips - 1)
+    j = np.arange(xs.size)
+    return np.minimum(geom, np.minimum.accumulate(geom - j) + j)
 
 
 def refine_polygon(box: np.ndarray, labels: np.ndarray,
                    component_id: int) -> np.ndarray | None:
-    """One box -> refined polygon [14, 2] or None (fall back to the box)."""
+    """One box -> refined polygon [14, 2] or None (keep the rectangle)."""
     w = int(np.linalg.norm(box[0] - box[1]) + 1)
     h = int(np.linalg.norm(box[1] - box[2]) + 1)
     if w < 10 or h < 10:
         return None
 
-    tar = np.asarray([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
+    upright = np.asarray([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
     try:
-        M = perspective_transform(np.asarray(box, np.float64), tar)
+        M = perspective_transform(np.asarray(box, np.float64), upright)
         Minv = np.linalg.inv(M)
     except np.linalg.LinAlgError:
         return None
-    word_label = warp_nearest(labels, M, w, h)
-    word_label = (word_label == component_id).astype(np.uint8)
+    patch = warp_nearest(labels, M, w, h) == component_id
 
-    # column contours
-    cp = []
-    max_len = -1
-    for i in range(w):
-        region = np.flatnonzero(word_label[:, i])
-        if len(region) < 2:
-            continue
-        cp.append((i, int(region[0]), int(region[-1])))
-        max_len = max(max_len, int(region[-1]) - int(region[0]) + 1)
-    if h * MAX_LEN_RATIO < max_len:
+    xs, top, bottom = _column_envelope(patch)
+    if xs.size == 0:
+        return None
+    thickness = bottom - top + 1
+    if thickness.max() > h * STRAIGHT_RATIO:
         return None
 
-    # pivot points over 2*NUM_CP+1 segments
-    tot_seg = NUM_CP * 2 + 1
-    seg_w = w / tot_seg
-    pp = [None] * NUM_CP
-    cp_section = [[0.0, 0.0] for _ in range(tot_seg)]
-    seg_height = [0] * NUM_CP
-    seg_num = 0
-    num_sec = 0
-    prev_h = -1
-    for (x, sy, ey) in cp:
-        if (seg_num + 1) * seg_w <= x and seg_num <= tot_seg:
-            if num_sec == 0:
-                break
-            cp_section[seg_num] = [
-                cp_section[seg_num][0] / num_sec,
-                cp_section[seg_num][1] / num_sec,
-            ]
-            num_sec = 0
-            seg_num += 1
-            prev_h = -1
-        cy = (sy + ey) * 0.5
-        cur_h = ey - sy + 1
-        cp_section[seg_num] = [
-            cp_section[seg_num][0] + x,
-            cp_section[seg_num][1] + cy,
-        ]
-        num_sec += 1
-        if seg_num % 2 == 0:
-            continue
-        if prev_h < cur_h:
-            pp[(seg_num - 1) // 2] = (x, cy)
-            seg_height[(seg_num - 1) // 2] = cur_h
-            prev_h = cur_h
-    if num_sec != 0:
-        cp_section[-1] = [
-            cp_section[-1][0] / num_sec,
-            cp_section[-1][1] / num_sec,
-        ]
-    if any(p is None for p in pp) or seg_w < np.max(seg_height) * 0.25:
+    n_strips = 2 * PIVOTS + 1
+    strip_w = w / n_strips
+    # The reference bails out when the first populated column already lies
+    # beyond strip 0 (its accumulator is empty at the first crossing).
+    if xs[0] >= strip_w:
+        return None
+    strip = _strip_of(xs, strip_w, n_strips)
+    center = (top + bottom) * 0.5
+
+    # per-strip centroids of (x, center) — used as direction anchors
+    anchor = np.zeros((n_strips, 2))
+    filled = np.zeros(n_strips, bool)
+    for s in range(n_strips):
+        in_s = strip == s
+        if in_s.any():
+            anchor[s] = (xs[in_s].mean(), center[in_s].mean())
+            filled[s] = True
+
+    # pivots: per odd strip, the first thickest column
+    pivot_xy = np.zeros((PIVOTS, 2))
+    pivot_thick = np.zeros(PIVOTS)
+    for i in range(PIVOTS):
+        in_s = strip == 2 * i + 1
+        if not in_s.any():
+            return None
+        k = np.flatnonzero(in_s)[np.argmax(thickness[strip == 2 * i + 1])]
+        pivot_xy[i] = (xs[k], center[k])
+        pivot_thick[i] = thickness[k]
+    if strip_w < pivot_thick.max() * 0.25:
         return None
 
-    half_char_h = float(np.median(seg_height)) * EXPAND_RATIO / 2.0
+    bar_half = float(np.median(pivot_thick)) * THICKNESS_GAIN / 2.0
 
-    new_pp = []
-    for i, (x, cy) in enumerate(pp):
-        dx = cp_section[i * 2 + 2][0] - cp_section[i * 2][0]
-        dy = cp_section[i * 2 + 2][1] - cp_section[i * 2][1]
-        if dx == 0:
-            new_pp.append([x, cy - half_char_h, x, cy + half_char_h])
-            continue
-        rad = -math.atan2(dy, dx)
-        c = half_char_h * math.cos(rad)
-        s = half_char_h * math.sin(rad)
-        new_pp.append([x - s, cy - c, x + s, cy + c])
+    # cross-bars: perpendicular to the local text direction, estimated
+    # from the even-strip anchors flanking each pivot
+    bars = np.zeros((PIVOTS, 4))  # (x_top, y_top, x_bot, y_bot)
+    for i in range(PIVOTS):
+        x, cy = pivot_xy[i]
+        dxy = anchor[2 * i + 2] - anchor[2 * i]
+        if dxy[0] == 0:
+            bars[i] = (x, cy - bar_half, x, cy + bar_half)
+        else:
+            ang = -math.atan2(dxy[1], dxy[0])
+            c, s = bar_half * math.cos(ang), bar_half * math.sin(ang)
+            bars[i] = (x - s, cy - c, x + s, cy + c)
 
-    spp = epp = None
-    grad_s = (pp[1][1] - pp[0][1]) / (pp[1][0] - pp[0][0]) + \
-             (pp[2][1] - pp[1][1]) / (pp[2][0] - pp[1][0])
-    grad_e = (pp[-2][1] - pp[-1][1]) / (pp[-2][0] - pp[-1][0]) + \
-             (pp[-3][1] - pp[-2][1]) / (pp[-3][0] - pp[-2][0])
-    for r in np.arange(0.5, MAX_R, STEP_R):
-        dx = 2 * half_char_h * r
-        last_chance = r + 2 * STEP_R >= MAX_R
-        if spp is None:
-            dy = grad_s * dx
-            p = np.asarray(new_pp[0]) - np.asarray([dx, dy, dx, dy])
-            if not _segment_hits_label(word_label, p) or last_chance:
-                spp = p
-        if epp is None:
-            dy = grad_e * dx
-            p = np.asarray(new_pp[-1]) + np.asarray([dx, dy, dx, dy])
-            if not _segment_hits_label(word_label, p) or last_chance:
-                epp = p
-        if spp is not None and epp is not None:
+    # outward extension of the first/last bars until they clear the label
+    slope_head = _chord_slope(pivot_xy[1], pivot_xy[0]) + _chord_slope(
+        pivot_xy[2], pivot_xy[1]
+    )
+    slope_tail = _chord_slope(pivot_xy[-2], pivot_xy[-1]) + _chord_slope(
+        pivot_xy[-3], pivot_xy[-2]
+    )
+    head = tail = None
+    for r in np.arange(0.5, REACH_LIMIT, REACH_STEP):
+        reach = 2.0 * bar_half * r
+        forced = r + 2 * REACH_STEP >= REACH_LIMIT
+        if head is None:
+            cand = bars[0] - np.asarray(
+                [reach, slope_head * reach, reach, slope_head * reach]
+            )
+            if forced or not _bar_touches(patch, cand):
+                head = cand
+        if tail is None:
+            cand = bars[-1] + np.asarray(
+                [reach, slope_tail * reach, reach, slope_tail * reach]
+            )
+            if forced or not _bar_touches(patch, cand):
+                tail = cand
+        if head is not None and tail is not None:
             break
-    if spp is None or epp is None:
+    if head is None or tail is None:
         return None
 
-    poly = [_warp_coord(Minv, (spp[0], spp[1]))]
-    poly += [_warp_coord(Minv, (p[0], p[1])) for p in new_pp]
-    poly.append(_warp_coord(Minv, (epp[0], epp[1])))
-    poly.append(_warp_coord(Minv, (epp[2], epp[3])))
-    poly += [_warp_coord(Minv, (p[2], p[3])) for p in reversed(new_pp)]
-    poly.append(_warp_coord(Minv, (spp[2], spp[3])))
-    return np.asarray(poly)
+    ring = [_unwarp(Minv, head[:2])]
+    ring += [_unwarp(Minv, b[:2]) for b in bars]
+    ring += [_unwarp(Minv, tail[:2]), _unwarp(Minv, tail[2:])]
+    ring += [_unwarp(Minv, b[2:]) for b in bars[::-1]]
+    ring.append(_unwarp(Minv, head[2:]))
+    return np.asarray(ring)
+
+
+def _chord_slope(a, b) -> float:
+    return (a[1] - b[1]) / (a[0] - b[0])
+
+
+def _bar_touches(patch: np.ndarray, bar) -> bool:
+    """Does the segment (bar[0],bar[1])-(bar[2],bar[3]) cross the
+    component?  Dense float sampling in place of the reference's
+    rasterize-and-AND (det_utils.py:208-222)."""
+    n = int(max(abs(bar[2] - bar[0]), abs(bar[3] - bar[1]))) * 2 + 2
+    px = np.round(np.linspace(bar[0], bar[2], n)).astype(np.int64)
+    py = np.round(np.linspace(bar[1], bar[3], n)).astype(np.int64)
+    ok = (px >= 0) & (px < patch.shape[1]) & (py >= 0) & (py < patch.shape[0])
+    if not ok.any():
+        return False
+    return bool(patch[py[ok], px[ok]].any())
 
 
 def refine_polygons(boxes: np.ndarray, valid: np.ndarray,
@@ -195,8 +234,8 @@ def refine_polygons(boxes: np.ndarray, valid: np.ndarray,
     """Batch helper over DetBoxes outputs: list of polygon|None per valid
     box (None = keep the rectangle, as the reference does)."""
     out = []
+    cid_map = np.asarray(cid)
     for k in np.nonzero(np.asarray(valid))[0]:
-        comp_mask_ids = np.asarray(cid)
-        # the component's label value in the cid map is k itself
-        out.append(refine_polygon(np.asarray(boxes)[k], comp_mask_ids, int(k)))
+        # the component's value in the compact-id map is k itself
+        out.append(refine_polygon(np.asarray(boxes)[k], cid_map, int(k)))
     return out

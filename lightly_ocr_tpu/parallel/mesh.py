@@ -63,23 +63,43 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def param_sharding_rules(params: Any, mesh: Mesh) -> Any:
-    """Per-leaf NamedSharding: replicate by default; when the mesh has a
-    nontrivial model axis, shard 2D kernels' output dim over it (GSPMD
-    TP) when divisible."""
+    """Per-leaf NamedSharding for the model axis (GSPMD tensor
+    parallelism), driven by the leaf's name and layout — never the
+    contraction dimension:
+
+    * flax ``Dense``/embedding kernels ``[in, out]`` — shard ``out``
+      (column parallel; XLA all-gathers activations where consumers need
+      the full feature dim).
+    * conv kernels ``[kh, kw, in, out]`` — shard the output channels.
+    * torch-layout recurrent weights ``weight_ih/weight_hh [4H, *]`` —
+      shard the *gate* dimension (dim 0, the matmul output since these
+      are applied transposed); gate mixing inside the cell is resolved
+      by GSPMD.
+    * biases and BN scales stay replicated (tiny; the sharded matmul
+      output plus a replicated bias is a local add).
+
+    Leaves whose shardable dim is indivisible by the axis (or too small
+    to be worth it) replicate.
+    """
     model_size = mesh.shape[MODEL_AXIS]
 
-    def rule(leaf):
+    def _fits(dim: int) -> bool:
+        return dim % model_size == 0 and dim >= 2 * model_size
+
+    def rule(path, leaf):
         shape = np.shape(leaf)
-        if (
-            model_size > 1
-            and len(shape) == 2
-            and shape[-1] % model_size == 0
-            and shape[-1] >= 2 * model_size
-        ):
-            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        if model_size > 1 and shape:
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name.startswith(("weight_ih", "weight_hh")):
+                if len(shape) == 2 and _fits(shape[0]):
+                    return NamedSharding(mesh, P(MODEL_AXIS, None))
+            elif name == "kernel" and len(shape) == 2 and _fits(shape[1]):
+                return NamedSharding(mesh, P(None, MODEL_AXIS))
+            elif name == "kernel" and len(shape) == 4 and _fits(shape[3]):
+                return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(rule, params)
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:

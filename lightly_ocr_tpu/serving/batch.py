@@ -31,7 +31,15 @@ from lightly_ocr_tpu.text.converters import build_converter
 
 
 class BatchedOCR:
-    """Compiles one program per (batch, canvas, boxes-per-image) shape."""
+    """Compiles one program per (batch, canvas, boxes-per-image) shape.
+
+    Pass ``mesh`` (a ``('data', 'model')`` :class:`jax.sharding.Mesh`) to
+    shard inference over the data axis: the program is wrapped in
+    ``jax.shard_map`` with the canvas batch split across devices and the
+    weights replicated — the TPU counterpart of the reference wrapping
+    its nets in ``nn.DataParallel`` for inference (``net.py:62-63,
+    137-138``).  The batch must be divisible by the data-axis size.
+    """
 
     def __init__(
         self,
@@ -40,6 +48,7 @@ class BatchedOCR:
         rec_variables: dict,
         boxes_per_image: int = 32,
         dtype: Any = jnp.bfloat16,
+        mesh: Any = None,
     ):
         self.cfg = cfg
         self.det_net = VGG_UNet(dtype=dtype)
@@ -48,6 +57,7 @@ class BatchedOCR:
         self.rec_variables = rec_variables
         self.boxes_per_image = boxes_per_image
         self.converter = build_converter(cfg.prediction, cfg.character)
+        self.mesh = mesh
         self._program = self._build()
 
     def _build(self):
@@ -56,7 +66,6 @@ class BatchedOCR:
         det_net, rec_net = self.det_net, self.rec_net
         is_ctc = cfg.prediction == "CTC"
 
-        @jax.jit
         def program(det_vars, rec_vars, canvases, gray):
             # 1) detector forward on the whole batch
             y, _ = det_net.apply(det_vars, canvases)
@@ -138,7 +147,27 @@ class BatchedOCR:
                 "confidence": conf.reshape(B, M),
             }
 
-        return program
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from lightly_ocr_tpu.parallel.mesh import DATA_AXIS
+
+            out_specs = {
+                "rects": P(DATA_AXIS),
+                "valid": P(DATA_AXIS),
+                "pred_idx": P(DATA_AXIS),
+                "confidence": P(DATA_AXIS),
+            }
+            return jax.jit(
+                jax.shard_map(
+                    program,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
+            )
+        return jax.jit(program)
 
     def __call__(self, canvases: jax.Array, gray: jax.Array) -> dict:
         """canvases [B,H,W,3] normalized; gray [B,H,W] in [0,255]."""

@@ -85,6 +85,36 @@ def test_refine_polygon_on_curved_text():
         np.testing.assert_allclose(poly, ref_polys[0], atol=2.5)
 
 
+def test_refine_polygon_gapped_word_close_to_reference():
+    """A word with a multi-strip gap exercises the lagging strip counter;
+    our strip anchors average cleanly where the reference keeps raw sums
+    in rare paths, so allow a loose tolerance."""
+    H, W = 80, 240
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    center = 40 + 10 * np.sin((xx - 5) / 55.0)
+    mask = (np.abs(yy - center) < 8) & (xx > 4) & (xx < W - 4)
+    mask[:, 100:148] = False
+    labels = mask.astype(np.int32)
+    ys, xs = np.nonzero(labels)
+    box = np.asarray(
+        [
+            [xs.min(), ys.min()],
+            [xs.max(), ys.min()],
+            [xs.max(), ys.max()],
+            [xs.min(), ys.max()],
+        ],
+        np.float32,
+    )
+    ref_polys = _ref().poly_core(
+        [box], labels, [1], np.zeros_like(labels, np.float32)
+    )
+    ours = refine_polygon(box, labels, 1)
+    assert (ours is None) == (ref_polys[0] is None)
+    if ours is not None:
+        assert ours.shape == ref_polys[0].shape
+        np.testing.assert_allclose(ours, ref_polys[0], atol=6.0)
+
+
 def test_refine_polygon_straight_text_rejected():
     # straight word: contour height ~ box height -> None (keep rect)
     labels = np.zeros((40, 120), np.int32)
