@@ -48,6 +48,7 @@ def test_normalize_numpy_io(rng):
     np.testing.assert_allclose(back, img, atol=1.0)
 
 
+@pytest.mark.slow
 def test_get_det_boxes_list_api(rng):
     from lightly_ocr_tpu.compat import adjustResultCoordinates, getDetBoxes
 

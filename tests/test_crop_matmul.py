@@ -12,6 +12,8 @@ from lightly_ocr_tpu.ops.crop import (
 from PIL import Image
 
 
+pytestmark = pytest.mark.parity
+
 @pytest.mark.parametrize(
     "rect", [[0, 0, 64, 200], [5, 11, 49, 170], [30, 150, 62, 199]]
 )

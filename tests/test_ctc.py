@@ -13,6 +13,8 @@ from lightly_ocr_tpu.text import CTCLabelConverter
 torch = pytest.importorskip("torch")
 
 
+pytestmark = pytest.mark.parity
+
 def _torch_ctc(log_probs, labels, in_len, lab_len, reduction="mean", zero_inf=True):
     # torch wants [T, B, C] and flat targets
     lp = torch.from_numpy(np.transpose(log_probs, (1, 0, 2))).double()

@@ -22,9 +22,9 @@ from lightly_ocr_tpu.ops.detection import (  # noqa: E402
 )
 
 REF = "/root/reference/ocr/tools/det_utils.py"
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.parity, pytest.mark.skipif(
     not os.path.isfile(REF), reason="reference mount absent"
-)
+)]
 
 
 def _load_ref_det_utils():
@@ -135,6 +135,7 @@ class TestGetDetBoxes:
         assert np.mean(ious) >= 0.99, ious
         assert np.min(ious) >= 0.97, ious
 
+    @pytest.mark.slow
     def test_empty_maps(self):
         z = jnp.zeros((40, 40), jnp.float32)
         out = get_det_boxes(z, z)

@@ -15,6 +15,8 @@ from lightly_ocr_tpu.export import (
 )
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def tiny_cfg():
     return Config(

@@ -7,6 +7,8 @@ from lightly_ocr_tpu.ops import affine_grid, grid_sample
 torch = pytest.importorskip("torch")
 
 
+pytestmark = pytest.mark.parity
+
 def _torch_gs(img_nhwc, grid, padding_mode, align_corners, mode="bilinear"):
     t_img = torch.from_numpy(np.moveaxis(img_nhwc, -1, 1)).float()
     t_grid = torch.from_numpy(grid).float()

@@ -10,9 +10,9 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.parity, pytest.mark.skipif(
     not os.path.isdir("/root/reference/ocr"), reason="reference mount absent"
-)
+)]
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -42,6 +42,7 @@ def _import(model_vars, torch_module):
     return import_torch_state_dict(model_vars, torch_module.state_dict())
 
 
+@pytest.mark.slow
 def test_resnet_parity(rng):
     _, modules = load_reference()
     t_model = modules.ResNet50v2(1, 512).eval()
@@ -59,6 +60,7 @@ def test_resnet_parity(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_resnet_output_geometry(rng):
     """32x100 input must give 26 sequence steps (SURVEY hard-shape)."""
     model = ResNet50v2(512)
@@ -84,6 +86,7 @@ def test_bilstm_parity(rng):
 
 
 @pytest.mark.parametrize("training", [True, False])
+@pytest.mark.slow
 def test_attention_parity_batch1(rng, training):
     # NOTE: the reference AttentionCell broadcasts h2h(h).unsqueeze(0)
     # (``attention.py:78``), which only type-checks at batch size 1 — its
@@ -115,6 +118,7 @@ def test_attention_parity_batch1(rng, training):
 
 
 @pytest.mark.parametrize("training", [True, False])
+@pytest.mark.slow
 def test_attention_batched_consistency(rng, training):
     """Batched decode must equal per-sample decode (the reference cannot
     even run batched, see note above)."""
@@ -162,6 +166,7 @@ def test_tps_parity(rng):
     assert np.mean(np.abs(ours - ref)) < 5e-4
 
 
+@pytest.mark.slow
 def test_vgg_unet_parity(rng):
     ref_model_mod, _ = load_reference()
     t_model = ref_model_mod.VGG_UNet(pretrained=False, freeze=False).eval()
@@ -184,6 +189,7 @@ def test_vgg_unet_parity(rng):
 
 
 @pytest.mark.parametrize("prediction", ["CTC", "Attention"])
+@pytest.mark.slow
 def test_crnnet_parity(rng, prediction):
     ref_model_mod, _ = load_reference()
     t_cfg = reference_config(prediction=prediction)

@@ -24,7 +24,7 @@ from lightly_ocr_tpu.train import TrainState, init_train_state, make_train_step
 
 from test_training import make_batch, tiny_cfg
 
-pytestmark = pytest.mark.multichip
+pytestmark = [pytest.mark.multichip, pytest.mark.slow]
 
 
 def _tiny_ocr_cfg():

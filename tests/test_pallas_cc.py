@@ -17,6 +17,7 @@ def _partition_equal(a, b, fg):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_matches_xla_random(rng, seed):
     r = np.random.default_rng(seed)
     mask = r.random((32, 128)) > 0.7
@@ -26,6 +27,7 @@ def test_matches_xla_random(rng, seed):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_text_blobs(rng):
     mask = np.zeros((64, 128), bool)
     mask[10:20, 10:60] = True
@@ -48,6 +50,7 @@ def test_l_shape_connectivity():
     assert len(set(out[mask].tolist())) == 1
 
 
+@pytest.mark.slow
 def test_batched(rng):
     masks = rng.random((3, 16, 128)) > 0.6
     out = np.asarray(

@@ -105,6 +105,7 @@ class TestSortRects:
 
 
 class TestEngines:
+    @pytest.mark.slow
     def test_detect_rects_shape(self, engines, rng):
         detector, _ = engines
         img = _receipt(rng)
@@ -123,6 +124,7 @@ class TestEngines:
         for roi in rois:
             assert roi.ndim == 3 and roi.size > 0
 
+    @pytest.mark.slow
     def test_recognizer_batch(self, engines, rng):
         _, recognizer = engines
         gray = rng.random((200, 150)).astype(np.float32) * 255
@@ -139,6 +141,7 @@ class TestEngines:
         )
         assert texts == [] and confs.shape == (0,)
 
+    @pytest.mark.slow
     def test_reference_style_process(self, engines, rng):
         _, recognizer = engines
         crop = (rng.random((30, 80)) * 255).astype(np.uint8)
@@ -156,6 +159,7 @@ class TestPipeline:
         for k, v in res.items():
             assert isinstance(k, float) and isinstance(v, str)
 
+    @pytest.mark.slow
     def test_serve_model_threshold(self, small_cfg, rng, tmp_path, monkeypatch):
         model = serveModel(config=small_cfg, thresh=2.0)  # impossible thresh
         out = model.predict(_receipt(rng))

@@ -14,9 +14,9 @@ from lightly_ocr_tpu.ops.poly import (  # noqa: E402
 )
 
 REF = "/root/reference/ocr/tools/det_utils.py"
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.parity, pytest.mark.skipif(
     not os.path.isfile(REF), reason="reference mount absent"
-)
+)]
 
 
 def _ref():

@@ -1,5 +1,7 @@
 import os
 
+import pytest
+
 import jax.numpy as jnp
 
 from lightly_ocr_tpu.utils.profiling import StageTimer, annotate, trace
@@ -30,6 +32,7 @@ def test_annotate_runs():
         _ = jnp.zeros((2,)) + 1
 
 
+@pytest.mark.slow
 def test_trace_writes_dir(tmp_path):
     d = str(tmp_path / "trace")
     with trace(d):

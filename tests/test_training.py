@@ -17,6 +17,8 @@ from lightly_ocr_tpu.train import (
 )
 
 
+pytestmark = pytest.mark.slow
+
 def tiny_cfg(prediction="CTC", transform="None"):
     return Config(
         prediction=prediction,
