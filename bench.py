@@ -64,7 +64,8 @@ def main(argv=None) -> int:
     # production feeds canvases straight from the ingest path).
     rng = np.random.default_rng(0)
     h, w = args.receipt_h, args.receipt_w
-    bucket = pick_canvas_bucket(h, w, cfg.canvas_size, cfg.magnify_ratio)
+    bucket = pick_canvas_bucket(h, w, cfg.canvas_size, cfg.magnify_ratio,
+                                granularity=cfg.bucket_granularity)
     plan = plan_aspect_resize(h, w, cfg.canvas_size, cfg.magnify_ratio,
                               canvas_bucket=bucket)
     receipts = rng.integers(0, 256, (args.batch, h, w, 3)).astype(np.float32)

@@ -89,6 +89,13 @@ class Config:
     # arbitrary multiples of 32 which would recompile per shape).
     canvas_size: int = 1280
     magnify_ratio: float = 1.5
+    # Canvas bucket quantum: input canvases round UP to a multiple of
+    # this so distinct receipt sizes share XLA programs.  32 = the
+    # reference-exact canvas (one program per distinct size, fastest per
+    # image); larger values trade a few % of detector FLOPs for fewer
+    # compiles.  64 keeps the padding tax under ~10% for typical
+    # receipts.
+    bucket_granularity: int = 64
     text_threshold: float = 0.7
     link_threshold: float = 0.4
     low_text: float = 0.4

@@ -150,7 +150,8 @@ class CRAFT:
     def _plan(self, image: np.ndarray):
         h, w = image.shape[:2]
         bucket = pick_canvas_bucket(
-            h, w, self.cfg.canvas_size, self.cfg.magnify_ratio
+            h, w, self.cfg.canvas_size, self.cfg.magnify_ratio,
+            granularity=self.cfg.bucket_granularity,
         )
         return plan_aspect_resize(
             h, w, self.cfg.canvas_size, self.cfg.magnify_ratio,

@@ -191,7 +191,10 @@ class BatchedOCR:
 
         cfg = self.cfg
         h, w = images[0].shape[:2]
-        bucket = pick_canvas_bucket(h, w, cfg.canvas_size, cfg.magnify_ratio)
+        bucket = pick_canvas_bucket(
+            h, w, cfg.canvas_size, cfg.magnify_ratio,
+            granularity=cfg.bucket_granularity,
+        )
         plan = plan_aspect_resize(
             h, w, cfg.canvas_size, cfg.magnify_ratio, canvas_bucket=bucket
         )

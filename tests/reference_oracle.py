@@ -95,3 +95,71 @@ def reference_config(prediction: str = "CTC", transform: str = "TPS") -> dict:
         "num_classes": num_classes,
         "batch_max_len": 25,
     }
+
+
+def _install_aux_stubs():
+    """lmdb / skimage.io / torchvision.transforms stand-ins for the
+    reference's ``tools`` package.  Only ``transforms.ToTensor`` is
+    actually executed on the paths the parity tests drive (inside
+    ``ResizeNormalize``); lmdb/skimage are import-time-only here."""
+    import numpy as np
+    import torch
+
+    if "lmdb" not in sys.modules:
+        lmdb = types.ModuleType("lmdb")
+        lmdb.open = None  # only LMDBDataset uses it; never constructed
+        sys.modules["lmdb"] = lmdb
+
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        io_mod = types.ModuleType("skimage.io")
+
+        def _imread(path):
+            from PIL import Image
+
+            return np.asarray(Image.open(path))
+
+        io_mod.imread = _imread
+        sk.io = io_mod
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.io"] = io_mod
+
+    tvm = sys.modules.get("torchvision")
+    if tvm is not None and not hasattr(tvm, "transforms"):
+        tfm = types.ModuleType("torchvision.transforms")
+
+        class ToTensor:
+            """PIL image -> float tensor [C, H, W] in [0, 1] (the exact
+            torchvision semantics ResizeNormalize relies on)."""
+
+            def __call__(self, pic):
+                arr = np.asarray(pic, dtype=np.uint8)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                t = torch.from_numpy(arr.copy()).permute(2, 0, 1)
+                return t.to(torch.float32).div(255.0)
+
+        tfm.ToTensor = ToTensor
+        tvm.transforms = tfm
+        sys.modules["torchvision.transforms"] = tfm
+
+
+def load_reference_engines():
+    """Returns (net, pipeline, tools) — the reference's engine/pipeline
+    layer (``ocr/net.py``, ``ocr/pipeline.py``).  Unlike
+    :func:`load_reference` this pulls in cv2/PIL-based pre/post glue, so
+    callers should monkeypatch ``net.MODEL_PATH`` to a writable dir with
+    seeded ``CRAFT.pth``/``CRNN.pth`` before constructing engines (their
+    ctors call ``load()``)."""
+    if "net" in _cache:
+        return _cache["net"], _cache["pipeline"], _cache["tools"]
+    load_reference()  # stub + sys.path
+    _install_aux_stubs()
+    import net  # noqa: F401
+    import pipeline  # noqa: F401
+    import tools  # noqa: F401
+
+    _cache["net"] = net
+    _cache["pipeline"] = pipeline
+    _cache["tools"] = tools
+    return net, pipeline, tools

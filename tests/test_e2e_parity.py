@@ -1,0 +1,232 @@
+"""End-to-end golden parity: the WHOLE reference pipeline vs ours.
+
+Seeded random weights are exported into the reference's actual torch
+engines (``ocr/net.py`` CRAFT/CRNN), then the reference chain
+(``pipeline.py:65-87`` -> ``net.py:100-113`` -> ``net.py:152-193``:
+cv2 resize -> torch VGG-UNet -> cv2-side box extraction -> original-image
+crops -> PIL resize -> torch CRNN -> decode) runs against this repo's
+``pipeline.getText`` chain on the same synthetic receipts.  Bounds the
+whole-chain drift: resize path -> score maps -> box coords -> crop path
+-> transcripts.
+
+Inputs are constructed so both stacks see identical numbers:
+* channels are replicated (R==G==B), so the reference's BGR reads
+  (cv2.imread / cv2.cvtColor) equal our RGB path;
+* detection thresholds are set from quantiles of the actual score maps
+  (random weights don't know what "text" is — quantiles make a
+  realistic number of components fire);
+* ``bucket_granularity=32`` pins our canvas to the reference-exact
+  multiple-of-32 canvas so score maps align 1:1.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+from lightly_ocr_tpu.config import load_config  # noqa: E402
+from lightly_ocr_tpu.engines import CRAFT, CRNN, gray_from_rgb  # noqa: E402
+from lightly_ocr_tpu.pipeline import getText, get_text_detailed  # noqa: E402
+from lightly_ocr_tpu.utils.torch_import import (  # noqa: E402
+    export_torch_state_dict,
+)
+
+REF = "/root/reference/ocr"
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.parity,
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference absent"),
+]
+
+
+def _make_receipt(rng, h, w, words=12):
+    """Equal-channel synthetic receipt: light paper, dark word blobs.
+
+    Blobs are sized so a +-2 px box-edge wobble (cross-framework f32
+    drift flipping individual threshold pixels) stays inside the 0.99
+    IoU budget."""
+    g = np.full((h, w), 232, np.float64)
+    g += rng.standard_normal((h, w)) * 3.0
+    for _ in range(words):
+        wh = int(rng.integers(22, 34))
+        ww = int(rng.integers(70, 140))
+        r = int(rng.integers(8, h - wh - 8))
+        c = int(rng.integers(8, w - ww - 8))
+        block = 40 + rng.standard_normal((wh, ww)) * 25.0
+        g[r : r + wh, c : c + ww] = block
+    g = np.clip(g, 0, 255).astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def _seeded_reference_engines(tmp_path, our_det, our_rec, refnet):
+    """Push our engines' random weights into the reference engines."""
+    dev = torch.device("cpu")
+
+    for name, variables in (
+        ("CRAFT.pth", our_det.variables),
+        ("CRNN.pth", our_rec.variables),
+    ):
+        sd = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in export_torch_state_dict(variables).items()
+        }
+        torch.save(sd, tmp_path / name)
+
+    old_path = refnet.MODEL_PATH
+    refnet.MODEL_PATH = str(tmp_path)
+    try:
+        # complete each saved dict with torch-default extras
+        # (num_batches_tracked, TPS grid buffers) so strict load passes
+        for name, builder in (
+            ("CRAFT.pth", lambda: refnet.VGG_UNet()),
+            ("CRNN.pth", lambda: refnet.CRNNet(refnet.CONFIG, dev)),
+        ):
+            tmpl = builder().state_dict()
+            saved = torch.load(tmp_path / name)
+            missing = {k: v for k, v in tmpl.items() if k not in saved}
+            saved.update(missing)
+            torch.save(saved, tmp_path / name)
+        ref_det = refnet.CRAFT(device=dev)
+        ref_rec = refnet.CRNN(device=dev)
+    finally:
+        refnet.MODEL_PATH = old_path
+    return ref_det, ref_rec
+
+
+def _pick_thresholds(our_det, image):
+    """Quantile thresholds over the canvas content region."""
+    maps, ratio = our_det.score_maps(image)
+    h2 = int(image.shape[0] * ratio) // 2
+    w2 = int(image.shape[1] * ratio) // 2
+    region = np.asarray(maps[:h2, :w2, 0], np.float64)
+    link = np.asarray(maps[:h2, :w2, 1], np.float64)
+    low_text = float(np.quantile(region, 0.86))
+    text_thr = float(np.quantile(region, 0.93))
+    link_thr = float(np.quantile(link, 0.90))
+    return low_text, text_thr, link_thr
+
+
+def _rect_iou(a, b):
+    r0, c0 = max(a[0], b[0]), max(a[1], b[1])
+    r1, c1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, r1 - r0) * max(0, c1 - c0)
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / max(area_a + area_b - inter, 1e-9)
+
+
+def _reference_rects(ref_det, img_bgr, refnet):
+    """net.py:100-111: forward + getCoords + reading-order sort,
+    capturing the rects instead of the crops."""
+    from functools import cmp_to_key
+
+    _, tools_mod = None, None
+    with torch.no_grad():
+        im_tensor, rw, rh = ref_det.preproc(img_bgr)
+        y, _ = ref_det.net(im_tensor)
+        score_text = y[0, :, :, 0].cpu().data.numpy()
+        score_link = y[0, :, :, 1].cpu().data.numpy()
+        rects = ref_det.getCoords([score_text, score_link], rw, rh)
+    import tools as ref_tools
+
+    return sorted(rects, key=cmp_to_key(ref_tools.compare_rects))
+
+
+def _run_case(tmp_path, rng, receipt_hw, canvas_size, case):
+    from reference_oracle import load_reference_engines
+
+    refnet, refpipe, _ = load_reference_engines()
+
+    cfg = load_config(os.path.join(REF, "config.yml")).replace(
+        bucket_granularity=32,
+        canvas_size=canvas_size,
+        max_boxes=64,
+    )
+    det0 = CRAFT(cfg, seed=3)
+    rec = CRNN(cfg, seed=7)
+
+    h, w = receipt_hw
+    image = _make_receipt(rng, h, w)
+
+    lt, tt, lk = _pick_thresholds(det0, image)
+    cfg = cfg.replace(low_text=lt, text_threshold=tt, link_threshold=lk)
+    det = CRAFT(cfg, variables=det0.variables)
+
+    ref_det, ref_rec = _seeded_reference_engines(tmp_path, det, rec, refnet)
+    ref_det.canvas_size = canvas_size
+    ref_det.lowTxtScore = lt
+    ref_det.txtThreshold = tt
+    ref_det.linkThreshold = lk
+
+    # equal channels -> the BGR file read equals our RGB array
+    png = str(tmp_path / f"receipt_{case}.png")
+    cv2.imwrite(png, image)
+
+    # --- box-coordinate parity through the whole detection chain ---
+    ref_rects = np.asarray(_reference_rects(ref_det, image, refnet))
+    our_rects = det.detect_rects(image)
+    assert len(ref_rects) > 3, f"[{case}] too few reference boxes to be meaningful"
+    assert len(our_rects) == len(ref_rects), (
+        f"[{case}] box count: ours {len(our_rects)} vs ref {len(ref_rects)}"
+    )
+    ref_clip = ref_rects.astype(np.float64)
+    ref_clip[:, 0::2] = np.clip(ref_clip[:, 0::2], 0, h)
+    ref_clip[:, 1::2] = np.clip(ref_clip[:, 1::2], 0, w)
+    ious = [
+        _rect_iou(a, b) for a, b in zip(our_rects.astype(np.float64), ref_clip)
+    ]
+    assert np.mean(ious) >= 0.99, f"[{case}] mean IoU {np.mean(ious):.4f}"
+    assert np.min(ious) >= 0.95, f"[{case}] min IoU {np.min(ious):.4f}"
+
+    # --- transcript parity through the whole recognition chain ---
+    items = get_text_detailed(image, det, rec)
+    our_texts = [it["text"] for it in items]
+    our_confs = [it["confidence"] for it in items]
+
+    ref_texts, ref_confs = [], []
+    with torch.no_grad():
+        for rect in ref_clip.astype(np.int64):
+            crop = image[rect[0] : rect[2], rect[1] : rect[3], :]
+            gray = cv2.cvtColor(crop, cv2.COLOR_BGR2GRAY)
+            raw_pred, preds = ref_rec.getPreds(gray)
+            probs = torch.nn.functional.softmax(preds, dim=2)
+            max_probs, _ = probs.max(dim=2)
+            text = raw_pred[0]
+            if "[s]" in text:
+                eos = text.index("[s]")
+                conf = float(max_probs[0][:eos].cumprod(dim=0)[-1]) if eos else 0.0
+                text = text[:eos]
+            else:
+                conf = 0.0
+            ref_texts.append(text)
+            ref_confs.append(conf)
+
+    assert our_texts == ref_texts, f"[{case}] transcripts diverge"
+    np.testing.assert_allclose(
+        our_confs, ref_confs, rtol=5e-3, atol=5e-4,
+        err_msg=f"[{case}] confidences diverge",
+    )
+
+    # --- the literal reference getText entry point agrees too ---
+    res = refpipe.getText(png, ref_det, ref_rec, write=False)
+    ref_dict_texts = sorted(str(v) for v in res.values())
+    kept = sorted(t for t, c in zip(our_texts, our_confs) if c > 0)
+    assert ref_dict_texts == kept, f"[{case}] getText dict diverges"
+
+
+def test_e2e_golden_parity_standard(tmp_path, rng):
+    """ratio > 1 (magnified receipt), reference-default canvas rule."""
+    _run_case(tmp_path, rng, (360, 280), canvas_size=1280, case="standard")
+
+
+def test_e2e_golden_parity_oversized(tmp_path, rng):
+    """plan.ratio < 1: receipt larger than the canvas cap, so content is
+    downscaled (the reference's square_size clamp, imgproc.py:45-46)."""
+    _run_case(tmp_path, rng, (520, 400), canvas_size=416, case="oversized")
