@@ -73,22 +73,19 @@ def main(argv=None) -> int:
     for img in receipts:
         c, _ = make_detector_input(jnp.asarray(img), plan)
         canv.append(c)
-        g = rgb_to_gray(jnp.asarray(img))
-        gc = jnp.zeros((plan.canvas_h, plan.canvas_w), jnp.float32)
-        grays.append(jax.lax.dynamic_update_slice(
-            gc, jax.image.resize(g, (plan.target_h, plan.target_w),
-                                 "bilinear"), (0, 0)))
+        grays.append(rgb_to_gray(jnp.asarray(img)))  # original resolution
     canvases = jnp.stack(canv)
     gray = jnp.stack(grays)
+    inv_ratio = 1.0 / plan.ratio
 
     # warmup / compile
-    out = ocr(canvases, gray)
+    out = ocr(canvases, gray, inv_ratio)
     jax.block_until_ready(out["confidence"])
 
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        out = ocr(canvases, gray)
+        out = ocr(canvases, gray, inv_ratio)
         jax.block_until_ready(out["confidence"])
         times.append(time.perf_counter() - t0)
     best = min(times)

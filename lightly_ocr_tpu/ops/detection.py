@@ -200,37 +200,60 @@ def get_det_boxes(
     cand = -jax.lax.top_k(jnp.where(roots_flat, -lin, -_BIG), K2)[0]
     cand_valid = cand < _BIG  # ascending root ids, padded with _BIG
 
-    cid1 = jnp.clip(jnp.searchsorted(cand, flat_labels), 0, K2 - 1)
+    # pixel -> candidate id.  'compare_all' is essential: the default
+    # 'scan' method serializes on TPU (~70 ms device time for this one
+    # op, measured); dense comparison against the 2K-entry table is a
+    # fused VPU pass.
+    cid1 = jnp.clip(
+        jnp.searchsorted(cand, flat_labels, method="compare_all"), 0, K2 - 1
+    )
     cid1 = jnp.where(jnp.take(cand, cid1) == flat_labels, cid1, K2)
 
-    cols = jnp.tile(jnp.arange(W, dtype=jnp.int32), (H,))
-    rows = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
-    cols_f = cols.astype(jnp.float32)
-    rows_f = rows.astype(jnp.float32)
-    tmap_flat = textmap.reshape(-1)
+    # --- ONE chunked per-(candidate, row) sweep for every statistic ---
+    # Two cid views: ALL component pixels (area/peak/extent stats, as
+    # cv2's connectedComponentsWithStats sees them) and the geometry
+    # view with link-only pixels dropped (det_utils.py:60).  Per-row
+    # extreme columns are exact support-function inputs because convex
+    # hull vertices are always row extremes.
+    cid1_2d = cid1.reshape(H, W)
+    text2d = text  # [H, W] bool, textmap > low_text
+    link2d = link
+    geom_cid2d = jnp.where(link2d & ~text2d, jnp.int32(K2), cid1_2d)
+    hot2d = (textmap >= text_threshold).astype(jnp.float32)
+    cols2d = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones(
+        (H, 1), jnp.float32
+    )
+    neg_inf = jnp.float32(-1e30)
+    pos_inf = jnp.float32(1e30)
 
     chunk = min(64, K2)
 
-    def stats_chunk(k0):
-        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
-        m = cid1[None, :] == ks[:, None]  # [chunk, HW]
-        neg_inf = jnp.float32(-1e30)
-        pos_inf = jnp.float32(1e30)
-        return (
-            jnp.sum(m, axis=1).astype(jnp.float32),  # area
-            jnp.max(jnp.where(m, tmap_flat[None], neg_inf), axis=1),  # peak
-            jnp.max(jnp.where(m, cols_f[None], neg_inf), axis=1),  # maxx
-            jnp.min(jnp.where(m, cols_f[None], pos_inf), axis=1),  # minx
-            jnp.max(jnp.where(m, rows_f[None], neg_inf), axis=1),  # maxy
-        )
+    def row_chunk(k0):
+        ks = (k0 + jnp.arange(chunk, dtype=jnp.int32))[:, None, None]
+        m_all = cid1_2d[None] == ks  # [chunk, H, W]
+        m_geom = geom_cid2d[None] == ks
+        cnt = jnp.sum(m_all, axis=2).astype(jnp.float32)  # [chunk, H]
+        hot = jnp.max(jnp.where(m_all, hot2d[None], 0.0), axis=2)
+        ax = jnp.max(jnp.where(m_all, cols2d[None], neg_inf), axis=2)
+        an = jnp.min(jnp.where(m_all, cols2d[None], pos_inf), axis=2)
+        rx_c = jnp.max(jnp.where(m_geom, cols2d[None], neg_inf), axis=2)
+        lx_c = jnp.min(jnp.where(m_geom, cols2d[None], pos_inf), axis=2)
+        return cnt, hot, an, ax, lx_c, rx_c
 
     starts = jnp.arange(0, K2, chunk, dtype=jnp.int32)
-    area, peak, maxx, minx, maxy = (
-        x.reshape(-1) for x in jax.lax.map(stats_chunk, starts)
-    )
-    miny = (cand // W).astype(jnp.float32)
+    cnt, hot, an, ax, lx2, rx2 = (
+        x.reshape(-1, H) for x in jax.lax.map(row_chunk, starts)
+    )  # each [K2, H]
 
-    keep = cand_valid & (area >= 10) & (peak >= text_threshold)
+    area = jnp.sum(cnt, axis=1)
+    peak_ok = jnp.max(hot, axis=1) > 0.5  # any pixel >= text_threshold
+    maxx = jnp.max(ax, axis=1)
+    minx = jnp.min(an, axis=1)
+    rows_f = jnp.arange(H, dtype=jnp.float32)[None, :]
+    maxy = jnp.max(jnp.where(cnt > 0, rows_f, neg_inf), axis=1)
+    miny = (cand // W).astype(jnp.float32)  # root = topmost-leftmost pixel
+
+    keep = cand_valid & (area >= 10) & peak_ok
 
     # --- compact K2 -> K slots, preserving scan order ---
     rank = jnp.cumsum(keep) - 1
@@ -254,31 +277,16 @@ def get_det_boxes(
     he = niter / 2.0  # Minkowski half-extent of the (1+niter) box kernel
     shift = jnp.where(jnp.mod(niter, 2.0) == 1.0, 0.5, 0.0)  # even kernel
 
-    # --- final compact id per pixel; drop link-only pixels from geometry
+    # --- final compact id per pixel (exposed for poly mode) ---
     table2 = jnp.concatenate(
         [slot.astype(jnp.int32), jnp.full((1,), K, jnp.int32)]
     )
     cid = jnp.take(table2, cid1)
-    geom_ok = ~(link & ~text)  # det_utils.py:60
-    cid_geom = jnp.where(geom_ok.reshape(-1), cid, K)
 
-    # --- per-(component, row) extreme columns, also scatter-free ---
-    # Convex-hull vertices are always row extremes, so supports over any
-    # direction are exact from <=2 points per row per component.
-    cid2d = cid_geom.reshape(H, W)
-    cols2d = cols_f.reshape(H, W)
-
-    def rowext_chunk(k0):
-        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
-        m = cid2d[None] == ks[:, None, None]  # [chunk, H, W]
-        rx_c = jnp.max(jnp.where(m, cols2d[None], -1e30), axis=2)
-        lx_c = jnp.min(jnp.where(m, cols2d[None], 1e30), axis=2)
-        return lx_c, rx_c
-
-    k_starts = jnp.arange(0, K, chunk if K >= chunk else K, dtype=jnp.int32)
-    lx_chunks, rx_chunks = jax.lax.map(rowext_chunk, k_starts)
-    lx = lx_chunks.reshape(-1, H)[:K]
-    rx = rx_chunks.reshape(-1, H)[:K]
+    # per-(component, row) extreme columns: gather the surviving
+    # candidates' rows from the merged sweep
+    lx = jnp.where(valid[:, None], lx2[sel_c], pos_inf)  # [K, H]
+    rx = jnp.where(valid[:, None], rx2[sel_c], neg_inf)
     row_has = rx > -1e29
     yv = jnp.arange(H, dtype=jnp.float32)[None, :, None]  # [1, H, 1]
     lx_ = jnp.where(row_has, lx, 0.0)[:, :, None]  # [K, H, 1]

@@ -7,11 +7,12 @@ the (grayscale) canvases -> one CRNN dispatch over ``B*M`` crops ->
 indices + confidences.  No host roundtrip between stages; the only host
 work is final text decoding.
 
-Note: crops are taken from the detector canvas (already aspect-resized)
-rather than the original image as the reference does (``net.py:108-111``)
-— at canvas scale >= 1x this loses nothing, and it keeps the whole batch
-on device.  The unbatched ``pipeline.getText`` path still crops from the
-original.
+Crops are taken from the ORIGINAL-resolution grayscale images, exactly
+as the reference does (``net.py:108-111``): detected boxes are mapped
+from canvas space back to image space inside the program (x ``2 /
+plan.ratio`` with the unbatched path's per-corner truncation), so at
+``plan.ratio < 1`` (receipts larger than the canvas) recognizer inputs
+never pay a second downscale.
 """
 from __future__ import annotations
 
@@ -66,7 +67,7 @@ class BatchedOCR:
         det_net, rec_net = self.det_net, self.rec_net
         is_ctc = cfg.prediction == "CTC"
 
-        def program(det_vars, rec_vars, canvases, gray):
+        def program(det_vars, rec_vars, canvases, gray, inv_ratio):
             # 1) detector forward on the whole batch
             y, _ = det_net.apply(det_vars, canvases)
             y = y.astype(jnp.float32)
@@ -107,18 +108,27 @@ class BatchedOCR:
             )(tmaps, lmaps, labels)
             boxes, valid = det.boxes, det.valid  # [B,M,4,2], [B,M]
 
-            # 3) heatmap -> canvas coords (x2), to row/col rects
-            scaled = boxes * 2.0
+            # 3) heatmap -> ORIGINAL-image coords (x2 net ratio, then
+            # 1/plan.ratio), truncated per corner exactly like the
+            # unbatched boxes_to_rects, then clipped to the image
+            scaled = jnp.trunc(boxes * (2.0 * inv_ratio))
             c0 = jnp.min(scaled[..., 0], axis=2)
             r0 = jnp.min(scaled[..., 1], axis=2)
             c1 = jnp.max(scaled[..., 0], axis=2)
             r1 = jnp.max(scaled[..., 1], axis=2)
+            H0 = jnp.float32(gray.shape[1])
+            W0 = jnp.float32(gray.shape[2])
+            r0 = jnp.clip(r0, 0.0, H0)
+            r1 = jnp.clip(r1, 0.0, H0)
+            c0 = jnp.clip(c0, 0.0, W0)
+            c1 = jnp.clip(c1, 0.0, W0)
+            valid = valid & (r1 > r0) & (c1 > c0)
             rects = jnp.stack([r0, c0, r1, c1], axis=-1)  # [B, M, 4]
             rects = jnp.where(valid[..., None], rects, jnp.asarray([0, 0, 1, 1], jnp.float32))
 
-            # 4) crop every rect from its own gray canvas — separable
-            # interpolation as two MXU matmuls (cubic kernel = reference's
-            # PIL BICUBIC recognizer feed)
+            # 4) crop every rect from its own ORIGINAL-resolution gray
+            # image — separable interpolation as two MXU matmuls (cubic
+            # kernel = reference's PIL BICUBIC recognizer feed)
             crops = jax.vmap(
                 lambda g, r: crop_resize_normalize_matmul(
                     g, r, cfg.height, cfg.width, "cubic"
@@ -162,17 +172,28 @@ class BatchedOCR:
                 jax.shard_map(
                     program,
                     mesh=self.mesh,
-                    in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+                    in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
                     out_specs=out_specs,
                     check_vma=False,
                 )
             )
         return jax.jit(program)
 
-    def __call__(self, canvases: jax.Array, gray: jax.Array) -> dict:
-        """canvases [B,H,W,3] normalized; gray [B,H,W] in [0,255]."""
+    def __call__(
+        self,
+        canvases: jax.Array,
+        gray: jax.Array,
+        inv_ratio: float = 1.0,
+    ) -> dict:
+        """canvases [B,H,W,3] normalized; gray [B,H0,W0] ORIGINAL-
+        resolution luma in [0,255]; inv_ratio = 1/plan.ratio (canvas ->
+        original scale).  Output rects are original-image coords."""
         return self._program(
-            self.det_variables, self.rec_variables, canvases, gray
+            self.det_variables,
+            self.rec_variables,
+            canvases,
+            gray,
+            jnp.float32(inv_ratio),
         )
 
     def run_images(self, images: list) -> list[list[dict]]:
@@ -185,12 +206,13 @@ class BatchedOCR:
             make_detector_input,
             pick_canvas_bucket,
             plan_aspect_resize,
-            resize_bilinear,
             rgb_to_gray,
         )
 
         cfg = self.cfg
         h, w = images[0].shape[:2]
+        if any(img.shape[:2] != (h, w) for img in images):
+            raise ValueError("run_images expects same-sized images per batch")
         bucket = pick_canvas_bucket(
             h, w, cfg.canvas_size, cfg.magnify_ratio,
             granularity=cfg.bucket_granularity,
@@ -202,19 +224,10 @@ class BatchedOCR:
         for img in images:
             c, _ = make_detector_input(jnp.asarray(img, jnp.float32), plan)
             canv.append(c)
-            g = rgb_to_gray(jnp.asarray(img, jnp.float32))
-            gc = jnp.zeros((plan.canvas_h, plan.canvas_w), jnp.float32)
-            g = jax.image.resize(
-                g, (plan.target_h, plan.target_w), "bilinear"
-            )
-            grays.append(jax.lax.dynamic_update_slice(gc, g, (0, 0)))
-        out = self(jnp.stack(canv), jnp.stack(grays))
-        results = self.decode(out)
-        scale = 1.0 / plan.ratio  # canvas -> original image coords
-        for items in results:
-            for it in items:
-                it["rect"] = [round(v * scale) for v in it["rect"]]
-        return results
+            # full-resolution luma: recognizer crops never resample twice
+            grays.append(rgb_to_gray(jnp.asarray(img, jnp.float32)))
+        out = self(jnp.stack(canv), jnp.stack(grays), 1.0 / plan.ratio)
+        return self.decode(out)
 
     def decode(self, out: dict) -> list[list[dict]]:
         """Device outputs -> per-image [{text, confidence, rect}]."""
