@@ -263,12 +263,20 @@ def build_loaders(cfg: Config, seed: int | None = None):
 
 
 def main(argv: Sequence[str] | None = None) -> int:
-    p = argparse.ArgumentParser(description="CRNN training")
+    p = argparse.ArgumentParser(description="CRNN / CRAFT training")
+    p.add_argument("--model", default="CRNN", choices=["CRNN", "CRAFT"],
+                   help="CRAFT = detector score-map training "
+                        "(lightly_ocr_tpu.train.craft); extra args pass "
+                        "through to its CLI")
     p.add_argument("--config", default=None)
     p.add_argument("--train-root", default=None)
     p.add_argument("--val-root", default=None)
     p.add_argument("--num-iters", type=int, default=None)
-    args = p.parse_args(argv)
+    args, extra = p.parse_known_args(argv)
+    if args.model == "CRAFT":
+        from lightly_ocr_tpu.train.craft import main as craft_main
+
+        return craft_main(extra)
     cfg = load_config(args.config)
     overrides = {
         k: v

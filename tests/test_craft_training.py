@@ -1,0 +1,98 @@
+"""CRAFT detector training (the reference's unshipped TODO,
+README.md:110): synthetic gaussian supervision, OHEM-MSE, DP mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lightly_ocr_tpu.train.craft import (
+    CraftTrainState,
+    _kth_largest_threshold,
+    init_craft_state,
+    make_craft_train_step,
+    ohem_mse,
+    synthesize_batch,
+    train_craft,
+)
+
+pytestmark = pytest.mark.slow
+
+
+def test_synthesize_batch_shapes_and_targets(rng):
+    data = synthesize_batch(rng, 2, 128, 96)
+    assert data["images"].shape == (2, 128, 96, 3)
+    assert data["region"].shape == (2, 64, 48)
+    assert data["affinity"].shape == (2, 64, 48)
+    # gaussians peak near 1 where characters were placed
+    assert data["region"].max() > 0.9
+    assert data["affinity"].max() > 0.9
+    assert data["region"].min() >= 0.0 and data["region"].max() <= 1.0
+
+
+def test_kth_largest_threshold_matches_sort(rng):
+    vals = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    for k in (10, 100, 1000):
+        t = float(_kth_largest_threshold(vals, jnp.int32(k)))
+        above = int(np.sum(np.asarray(vals) >= t))
+        # binary search over 16 halvings: within a tight band around k
+        assert 0.8 * k <= above <= 1.3 * k + 4
+
+
+def test_ohem_keeps_positives_and_hard_negatives():
+    pred = jnp.zeros((1, 8, 8))
+    target = jnp.zeros((1, 8, 8)).at[0, 2, 2].set(1.0)
+    # one positive (err 1.0), negatives all err 0 -> loss dominated by pos
+    loss = float(ohem_mse(pred, target))
+    assert 0.5 < loss <= 1.1
+
+    # a huge negative error must be selected as a hard negative
+    pred2 = pred.at[0, 5, 5].set(3.0)
+    loss2 = float(ohem_mse(pred2, target))
+    assert loss2 > loss
+
+
+def test_craft_loss_decreases_single_batch(rng):
+    model, state = init_craft_state(jax.random.key(0), lr=3e-3,
+                                    image_hw=(96, 64))
+    step = make_craft_train_step(model, lr=3e-3)
+    batch = synthesize_batch(rng, 2, 96, 64)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 6
+
+
+def test_craft_training_multidevice(rng):
+    from lightly_ocr_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() == 8
+    mesh = make_mesh(8, 1)
+    _, state, losses = train_craft(
+        num_steps=3, batch=8, height=96, width=64, mesh=mesh, log_every=0
+    )
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 3
+
+
+def test_craft_checkpoint_written(tmp_path, rng):
+    _, state, _ = train_craft(
+        num_steps=1, batch=1, height=64, width=64,
+        checkpoint_dir=str(tmp_path / "ck"), log_every=0,
+    )
+    from lightly_ocr_tpu.utils.checkpoint import restore_checkpoint
+
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    restored, step = restore_checkpoint(str(tmp_path / "ck"), template)
+    assert step == 1
+    a = jax.tree_util.tree_leaves(restored["params"])
+    b = jax.tree_util.tree_leaves(state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
