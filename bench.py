@@ -1,13 +1,22 @@
 """End-to-end OCR throughput benchmark (driver-run on real TPU).
 
-Measures receipts/sec/chip through the single-program batched path
-(`serving.batch.BatchedOCR`): CRAFT forward -> on-device box extraction ->
-batched crop -> CRNN (TPS+ResNet+BiLSTM+Attention) over max_boxes crops
-per receipt — the full production compute path with static shapes, so
-throughput is independent of how many boxes the (untrained) weights fire.
+Measures steady-state receipts/sec/chip through the single-program
+batched path (`serving.batch.BatchedOCR`): CRAFT forward -> on-device box
+extraction -> original-image crops -> CRNN (TPS+ResNet+BiLSTM+Attention)
+over max_boxes crops per receipt.
+
+Honest methodology:
+* throughput is measured over a pipelined steady state (``--depth``
+  dispatches in flight, default 2) so host work overlaps device compute
+  the way a serving loop runs — not a lone dispatch with ``min()``;
+* host-side text DECODING of every result is inside the timed loop;
+* reported throughput uses the TOTAL wall time of all timed dispatches
+  (median-free), and per-dispatch latency is reported as p50.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 200 (the >=200 receipts/sec/chip BASELINE target).
+vs_baseline is value / 200 (the >=200 receipts/sec/chip BASELINE
+target).  ``--full`` adds secondary lines (p50 latency, 64-concurrent
+config-5 run) to stderr so the driver still sees a single stdout line.
 """
 from __future__ import annotations
 
@@ -16,6 +25,7 @@ import json
 import os
 import sys
 import time
+from collections import deque
 
 import numpy as np
 
@@ -23,17 +33,54 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
+def _steady_state(ocr, canvases, gray, inv_ratio, batch, dispatches, depth):
+    """Pipelined run: keep ``depth`` dispatches in flight, decode every
+    finished result on the host inside the timed window.
+
+    Returns (receipts_per_s, p50_latency_s, results_sample).
+    """
+    import jax
+
+    pending = deque()
+    latencies = []
+    sample = None
+    t0 = time.perf_counter()
+    for i in range(dispatches):
+        t_submit = time.perf_counter()
+        out = ocr(canvases, gray, inv_ratio)  # async dispatch
+        pending.append((t_submit, out))
+        while len(pending) > depth:
+            ts, o = pending.popleft()
+            jax.block_until_ready(o["confidence"])
+            sample = ocr.decode(o)  # host decode counted
+            latencies.append(time.perf_counter() - ts)
+    while pending:
+        ts, o = pending.popleft()
+        jax.block_until_ready(o["confidence"])
+        sample = ocr.decode(o)
+        latencies.append(time.perf_counter() - ts)
+    total = time.perf_counter() - t0
+    rps = batch * dispatches / total
+    p50 = float(np.median(latencies))
+    return rps, p50, sample
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8, help="receipts per dispatch")
     p.add_argument("--boxes", type=int, default=32, help="word boxes per receipt")
-    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--dispatches", type=int, default=16,
+                   help="timed dispatches in the steady-state window")
+    p.add_argument("--depth", type=int, default=2,
+                   help="dispatches kept in flight (pipelining)")
     p.add_argument("--receipt-h", type=int, default=600)
     p.add_argument("--receipt-w", type=int, default=400)
     p.add_argument("--prediction", default="Attention",
                    choices=["Attention", "CTC"])
     p.add_argument("--fp32", action="store_true",
                    help="disable bfloat16 compute")
+    p.add_argument("--full", action="store_true",
+                   help="also run the 64-concurrent config-5 measurement")
     args = p.parse_args(argv)
 
     import jax
@@ -60,8 +107,7 @@ def main(argv=None) -> int:
     ocr = BatchedOCR(cfg, det.variables, rec.variables,
                      boxes_per_image=args.boxes, dtype=dtype)
 
-    # Synthetic receipt batch -> canvases on device (one-time host prep;
-    # production feeds canvases straight from the ingest path).
+    # Synthetic receipt batch -> canvases on device (ingest-side prep).
     rng = np.random.default_rng(0)
     h, w = args.receipt_h, args.receipt_w
     bucket = pick_canvas_bucket(h, w, cfg.canvas_size, cfg.magnify_ratio,
@@ -78,33 +124,51 @@ def main(argv=None) -> int:
     gray = jnp.stack(grays)
     inv_ratio = 1.0 / plan.ratio
 
-    # warmup / compile
-    out = ocr(canvases, gray, inv_ratio)
-    jax.block_until_ready(out["confidence"])
-
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
+    # warmup / compile (2 dispatches so the pipelined path is warm too)
+    for _ in range(2):
         out = ocr(canvases, gray, inv_ratio)
-        jax.block_until_ready(out["confidence"])
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    receipts_per_s = args.batch / best
+    jax.block_until_ready(out["confidence"])
+    ocr.decode(out)
+
+    rps, p50, _ = _steady_state(
+        ocr, canvases, gray, inv_ratio, args.batch, args.dispatches,
+        args.depth,
+    )
 
     print(
         json.dumps(
             {
-                "metric": "receipts/sec/chip end-to-end "
+                "metric": "receipts/sec/chip steady-state incl. host decode "
                 f"(canvas {plan.canvas_h}x{plan.canvas_w}, "
                 f"{args.boxes} boxes/receipt, batch {args.batch}, "
-                f"{args.prediction}, {'fp32' if args.fp32 else 'bf16'})",
-                "value": round(receipts_per_s, 3),
+                f"depth {args.depth}, {args.prediction}, "
+                f"{'fp32' if args.fp32 else 'bf16'})",
+                "value": round(rps, 3),
                 "unit": "receipts/s",
-                "vs_baseline": round(receipts_per_s / 200.0, 4),
+                "vs_baseline": round(rps / 200.0, 4),
             }
         ),
         flush=True,
     )
+    print(
+        f"p50 dispatch latency: {p50*1e3:.1f} ms "
+        f"({p50*1e3/args.batch:.2f} ms/receipt amortized)",
+        file=sys.stderr, flush=True,
+    )
+
+    if args.full:
+        # BASELINE config 5: 64 receipts in flight through the batched
+        # path (batch x depth = 64)
+        depth64 = max(1, 64 // args.batch)
+        rps64, p5064, _ = _steady_state(
+            ocr, canvases, gray, inv_ratio, args.batch,
+            max(args.dispatches, 2 * depth64), depth64,
+        )
+        print(
+            f"config-5 (64 concurrent = batch {args.batch} x depth "
+            f"{depth64}): {rps64:.1f} receipts/s, p50 {p5064*1e3:.1f} ms",
+            file=sys.stderr, flush=True,
+        )
     return 0
 
 

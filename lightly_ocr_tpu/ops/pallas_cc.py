@@ -128,3 +128,57 @@ def label_components_pallas(
         x = jnp.concatenate([x, jnp.zeros((pad, H, W), jnp.int32)], 0)
     out = jax.lax.map(run, x.reshape(-1, per, H, W))
     return out.reshape(-1, H, W)[:B]
+
+
+def labels_converged(fg: jax.Array, labels: jax.Array) -> jax.Array:
+    """Scalar bool: is ``labels`` a fixed point of CC propagation?
+
+    A labeling is converged iff no two 4-adjacent foreground pixels
+    carry different labels — two elementwise comparisons, far cheaper
+    than another propagation round.
+    """
+    f = fg
+    diff_r = (
+        f[..., :, :-1] & f[..., :, 1:]
+        & (labels[..., :, :-1] != labels[..., :, 1:])
+    )
+    diff_d = (
+        f[..., :-1, :] & f[..., 1:, :]
+        & (labels[..., :-1, :] != labels[..., 1:, :])
+    )
+    return ~(jnp.any(diff_r) | jnp.any(diff_d))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rounds", "max_rounds", "interpret")
+)
+def label_components_checked(
+    fg: jax.Array,
+    rounds: int = 6,
+    max_rounds: int = 24,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas CC with a convergence residual + escalation.
+
+    Text-shaped blobs converge within ``rounds`` (measured); pathological
+    snakes (spirals, combs) need more.  Rather than paying the worst case
+    always, run the fast bound, verify the fixed point with
+    :func:`labels_converged`, and only if unconverged fall back to the
+    XLA formulation's convergence-checked ``while_loop`` (up to
+    ``max_rounds``).  The production batched path uses this wrapper, so
+    a snaking component can no longer silently fragment into several
+    boxes.
+    """
+    from lightly_ocr_tpu.ops.detection import label_components
+
+    batched = fg.ndim == 3
+    labels = label_components_pallas(fg, rounds=rounds, interpret=interpret)
+
+    def escalate(_):
+        if batched:
+            return jax.vmap(lambda m: label_components(m, max_rounds))(fg)
+        return label_components(fg, max_rounds)
+
+    return jax.lax.cond(
+        labels_converged(fg, labels), lambda _: labels, escalate, None
+    )

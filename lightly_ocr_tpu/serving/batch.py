@@ -80,12 +80,14 @@ class BatchedOCR:
             tmaps, lmaps = y[..., 0], y[..., 1]
             if jax.default_backend() == "tpu":
                 from lightly_ocr_tpu.ops.pallas_cc import (
-                    label_components_pallas,
+                    label_components_checked,
                 )
 
                 fg = (tmaps > cfg.low_text) | (lmaps > cfg.link_threshold)
-                labels = label_components_pallas(
-                    fg, rounds=min(cfg.cc_max_iters, 6)
+                labels = label_components_checked(
+                    fg,
+                    rounds=min(cfg.cc_max_iters, 6),
+                    max_rounds=max(cfg.cc_max_iters, 24),
                 )
             else:
                 from lightly_ocr_tpu.ops.detection import label_components
