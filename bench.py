@@ -67,7 +67,7 @@ def _steady_state(ocr, canvases, gray, inv_ratio, batch, dispatches, depth):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=8, help="receipts per dispatch")
+    p.add_argument("--batch", type=int, default=16, help="receipts per dispatch")
     p.add_argument("--boxes", type=int, default=32, help="word boxes per receipt")
     p.add_argument("--dispatches", type=int, default=16,
                    help="timed dispatches in the steady-state window")
