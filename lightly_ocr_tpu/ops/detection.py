@@ -200,10 +200,15 @@ def get_det_boxes(
     cand = -jax.lax.top_k(jnp.where(roots_flat, -lin, -_BIG), K2)[0]
     cand_valid = cand < _BIG  # ascending root ids, padded with _BIG
 
-    # pixel -> candidate id.  'compare_all' is essential: the default
-    # 'scan' method serializes on TPU (~70 ms device time for this one
-    # op, measured); dense comparison against the 2K-entry table is a
-    # fused VPU pass.
+    # pixel -> candidate id, ONLY for the per-pixel ``cid`` output (poly
+    # mode).  The box sweep below compares labels against candidate
+    # label VALUES directly, so this searchsorted is dead code whenever
+    # the caller consumes just boxes/valid (the batched serving path)
+    # and XLA eliminates it.  'compare_all' rather than the default
+    # 'scan' method, which serializes on TPU (~70 ms device time for
+    # this one op, measured); even dense comparison materializes a
+    # [HW, 2K] compare — ~20 ms at batch 16 — which is why it must not
+    # sit on the box path.
     cid1 = jnp.clip(
         jnp.searchsorted(cand, flat_labels, method="compare_all"), 0, K2 - 1
     )
@@ -215,13 +220,21 @@ def get_det_boxes(
     # view with link-only pixels dropped (det_utils.py:60).  Per-row
     # extreme columns are exact support-function inputs because convex
     # hull vertices are always row extremes.
-    cid1_2d = cid1.reshape(H, W)
+    # The sweep masks compare labels against candidate label VALUES
+    # (``cand[k]``), never against the per-pixel compact id — that keeps
+    # the expensive pixel->cid mapping off the box path entirely.
+    # Layout: the masked reductions collapse the COLUMN axis, and TPU
+    # reductions along the minor (lane) dimension pay cross-lane work
+    # per output element while second-minor reductions are plain
+    # per-lane accumulation — so the sweep runs on transposed
+    # [chunk, W, H] views and reduces axis 1.
+    lab_t = labels.T  # [W, H]; background = HW, roots < HW, pad = _BIG
     text2d = text  # [H, W] bool, textmap > low_text
     link2d = link
-    geom_cid2d = jnp.where(link2d & ~text2d, jnp.int32(K2), cid1_2d)
-    hot2d = (textmap >= text_threshold).astype(jnp.float32)
-    cols2d = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones(
-        (H, 1), jnp.float32
+    geom_lab_t = jnp.where((link2d & ~text2d).T, jnp.int32(HW), lab_t)
+    hot_t = (textmap >= text_threshold).astype(jnp.float32).T  # [W, H]
+    cols_t = jnp.arange(W, dtype=jnp.float32)[:, None] * jnp.ones(
+        (1, H), jnp.float32
     )
     neg_inf = jnp.float32(-1e30)
     pos_inf = jnp.float32(1e30)
@@ -229,21 +242,24 @@ def get_det_boxes(
     chunk = min(64, K2)
 
     def row_chunk(k0):
-        ks = (k0 + jnp.arange(chunk, dtype=jnp.int32))[:, None, None]
-        m_all = cid1_2d[None] == ks  # [chunk, H, W]
-        m_geom = geom_cid2d[None] == ks
-        cnt = jnp.sum(m_all, axis=2).astype(jnp.float32)  # [chunk, H]
-        hot = jnp.max(jnp.where(m_all, hot2d[None], 0.0), axis=2)
-        ax = jnp.max(jnp.where(m_all, cols2d[None], neg_inf), axis=2)
-        an = jnp.min(jnp.where(m_all, cols2d[None], pos_inf), axis=2)
-        rx_c = jnp.max(jnp.where(m_geom, cols2d[None], neg_inf), axis=2)
-        lx_c = jnp.min(jnp.where(m_geom, cols2d[None], pos_inf), axis=2)
+        kv = jax.lax.dynamic_slice_in_dim(cand, k0, chunk)[:, None, None]
+        m_all = lab_t[None] == kv  # [chunk, W, H]
+        m_geom = geom_lab_t[None] == kv
+        cnt = jnp.sum(m_all, axis=1).astype(jnp.float32)  # [chunk, H]
+        hot = jnp.max(jnp.where(m_all, hot_t[None], 0.0), axis=1)
+        ax = jnp.max(jnp.where(m_all, cols_t[None], neg_inf), axis=1)
+        an = jnp.min(jnp.where(m_all, cols_t[None], pos_inf), axis=1)
+        rx_c = jnp.max(jnp.where(m_geom, cols_t[None], neg_inf), axis=1)
+        lx_c = jnp.min(jnp.where(m_geom, cols_t[None], pos_inf), axis=1)
         return cnt, hot, an, ax, lx_c, rx_c
 
-    starts = jnp.arange(0, K2, chunk, dtype=jnp.int32)
-    cnt, hot, an, ax, lx2, rx2 = (
-        x.reshape(-1, H) for x in jax.lax.map(row_chunk, starts)
-    )  # each [K2, H]
+    if K2 <= chunk:
+        cnt, hot, an, ax, lx2, rx2 = row_chunk(0)
+    else:
+        starts = jnp.arange(0, K2, chunk, dtype=jnp.int32)
+        cnt, hot, an, ax, lx2, rx2 = (
+            x.reshape(-1, H) for x in jax.lax.map(row_chunk, starts)
+        )  # each [K2, H]
 
     area = jnp.sum(cnt, axis=1)
     peak_ok = jnp.max(hot, axis=1) > 0.5  # any pixel >= text_threshold
