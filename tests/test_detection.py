@@ -138,19 +138,23 @@ class TestGetDetBoxes:
     @pytest.mark.slow
     def test_empty_maps(self):
         z = jnp.zeros((40, 40), jnp.float32)
-        out = get_det_boxes(z, z)
+        out = get_det_boxes(z, z, max_boxes=16)
         assert not bool(out.valid.any())
 
     def test_small_component_filtered(self):
         t = np.zeros((40, 40), np.float32)
         t[5:7, 5:8] = 0.9  # area 6 < 10
-        out = get_det_boxes(jnp.asarray(t), jnp.zeros_like(jnp.asarray(t)))
+        out = get_det_boxes(
+            jnp.asarray(t), jnp.zeros_like(jnp.asarray(t)), max_boxes=16
+        )
         assert not bool(out.valid.any())
 
     def test_low_peak_filtered(self):
         t = np.zeros((40, 40), np.float32)
         t[5:15, 5:25] = 0.5  # above low_text, below text_threshold
-        out = get_det_boxes(jnp.asarray(t), jnp.zeros_like(jnp.asarray(t)))
+        out = get_det_boxes(
+            jnp.asarray(t), jnp.zeros_like(jnp.asarray(t)), max_boxes=16
+        )
         assert not bool(out.valid.any())
 
     def test_boxes_to_rects_layout(self):

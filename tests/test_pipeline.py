@@ -117,6 +117,7 @@ class TestEngines:
             assert rects[:, 2].max() <= img.shape[0]
             assert rects[:, 3].max() <= img.shape[1]
 
+    @pytest.mark.slow
     def test_process_returns_crops(self, engines, rng):
         detector, _ = engines
         img = _receipt(rng)
