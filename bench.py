@@ -79,6 +79,8 @@ def main(argv=None) -> int:
                    choices=["Attention", "CTC"])
     p.add_argument("--fp32", action="store_true",
                    help="disable bfloat16 compute")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 dynamic int8 backbone convs (v5e int8 MXU)")
     p.add_argument("--full", action="store_true",
                    help="also run the 64-concurrent config-5 measurement")
     args = p.parse_args(argv)
@@ -98,7 +100,7 @@ def main(argv=None) -> int:
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     cfg = Config(prediction=args.prediction, transform="TPS",
-                 max_boxes=args.boxes)
+                 max_boxes=args.boxes, quant_int8=args.int8)
 
     # Build engines (random weights unless checkpoints exist in
     # cfg.pretrained) and the fused batch program.
@@ -142,7 +144,7 @@ def main(argv=None) -> int:
                 f"(canvas {plan.canvas_h}x{plan.canvas_w}, "
                 f"{args.boxes} boxes/receipt, batch {args.batch}, "
                 f"depth {args.depth}, {args.prediction}, "
-                f"{'fp32' if args.fp32 else 'bf16'})",
+                f"{'fp32' if args.fp32 else 'int8' if args.int8 else 'bf16'})",
                 "value": round(rps, 3),
                 "unit": "receipts/s",
                 "vs_baseline": round(rps / 200.0, 4),

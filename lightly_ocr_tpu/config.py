@@ -85,6 +85,10 @@ class Config:
     mesh_model: int = 1  # model axis (reserved for TP; DP-only by default)
     compute_dtype: str = "bfloat16"  # MXU-friendly compute precision
     param_dtype: str = "float32"
+    # w8a8 dynamic int8 inference (v5e int8 MXU, ~2x bf16 peak): runs
+    # every VGG/ResNet backbone conv as QuantConv.  Inference-only; the
+    # parameter tree is unchanged so checkpoints load identically.
+    quant_int8: bool = False
     # Detector canvas buckets (static shapes for XLA; reference resizes to
     # arbitrary multiples of 32 which would recompile per shape).
     canvas_size: int = 1280

@@ -90,7 +90,7 @@ class CRAFT:
         dtype: Any = jnp.float32,
     ):
         self.cfg = cfg or Config()
-        self.net = VGG_UNet(dtype=dtype)
+        self.net = VGG_UNet(dtype=dtype, quant=self.cfg.quant_int8)
         self.variables = variables
         self.model_path = model_path
         self.load(seed)
@@ -230,7 +230,7 @@ class CRNN:
         dtype: Any = jnp.float32,
     ):
         self.cfg = cfg or Config()
-        self.net = CRNNet(self.cfg, dtype=dtype)
+        self.net = CRNNet(self.cfg, dtype=dtype, quant=self.cfg.quant_int8)
         self.converter = build_converter(self.cfg.prediction, self.cfg.character)
         self.variables = variables
         self.model_path = model_path

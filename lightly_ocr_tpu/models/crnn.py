@@ -29,6 +29,7 @@ Dtype = Any
 class CRNNet(nn.Module):
     cfg: Config
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -50,7 +51,8 @@ class CRNNet(nn.Module):
             )(x, train)
 
         x = ResNet50v2(
-            cfg.output_channel, dtype=self.dtype, name="FeatureExtraction"
+            cfg.output_channel, dtype=self.dtype, quant=self.quant,
+            name="FeatureExtraction",
         )(x, train)  # [B, H', W', C]
 
         # AdaptiveAvgPool2d((None, 1)) over height + width-major sequence

@@ -74,6 +74,81 @@ class ConvBN(nn.Module):
         return x
 
 
+class QuantConv(nn.Module):
+    """w8a8 dynamically-quantized conv for the v5e int8 MXU (2x bf16 peak).
+
+    Same parameter tree as ``nn.Conv`` (float master ``kernel``/``bias``,
+    identical initializers) so checkpoints import unchanged and the flag
+    flips implementation only.  At apply time:
+
+    * weights: symmetric per-output-channel int8 (scale = amax over
+      kh/kw/cin / 127) — computed from the float32 master each dispatch;
+      weights are tiny next to activations so this costs ~nothing and
+      XLA keeps the requantize out of the hot loop's critical path;
+    * activations: symmetric per-tensor DYNAMIC int8 (scale = amax/127,
+      a single fused VPU reduction) — no offline calibration pass, which
+      keeps ``load()`` identical to the float engines;
+    * conv accumulates int32 on the MXU, then one fused epilogue
+      dequantizes (sx*sw per channel) and adds the float bias.
+
+    The reference runs fp32 cuDNN convs; this is the TPU-native serving
+    speed path and is parity-gated by tests (score-map tolerance +
+    box-IoU vs the float program).
+    """
+
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: Any = ((1, 1), (1, 1))
+    use_bias: bool = True
+    dilation: tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+            jnp.float32,
+        )
+        b = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+
+        sw = jnp.maximum(
+            jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12
+        ) / 127.0  # [Cout]
+        wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+
+        dn = jax.lax.conv_dimension_numbers(
+            xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            xq,
+            wq,
+            window_strides=self.strides,
+            padding=self.padding,
+            rhs_dilation=self.dilation,
+            dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        out = y.astype(jnp.float32) * (sx * sw)
+        if b is not None:
+            out = out + b
+        return out.astype(self.dtype)
+
+
 def conv(
     features: int,
     kernel: tuple[int, int] = (3, 3),
@@ -82,7 +157,18 @@ def conv(
     use_bias: bool = True,
     name: str | None = None,
     dtype: Dtype = jnp.float32,
-) -> nn.Conv:
+    quant: bool = False,
+) -> nn.Module:
+    if quant:
+        return QuantConv(
+            features,
+            kernel,
+            strides=strides,
+            padding=padding,
+            use_bias=use_bias,
+            dtype=dtype,
+            name=name,
+        )
     return nn.Conv(
         features,
         kernel,

@@ -26,18 +26,26 @@ class BasicBlock(nn.Module):
     planes: int
     downsample: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         residual = x
-        y = conv(self.planes, use_bias=False, name="conv1", dtype=self.dtype)(x)
+        y = conv(
+            self.planes, use_bias=False, name="conv1", dtype=self.dtype,
+            quant=self.quant,
+        )(x)
         y = batch_norm(train, "bn1", self.dtype)(y)
         y = nn.relu(y)
-        y = conv(self.planes, use_bias=False, name="conv2", dtype=self.dtype)(y)
+        y = conv(
+            self.planes, use_bias=False, name="conv2", dtype=self.dtype,
+            quant=self.quant,
+        )(y)
         y = batch_norm(train, "bn2", self.dtype)(y)
         if self.downsample:
             residual = DownsampleShortcut(
-                self.planes, dtype=self.dtype, name="downsample"
+                self.planes, dtype=self.dtype, quant=self.quant,
+                name="downsample",
             )(x, train)
         return nn.relu(y + residual)
 
@@ -45,6 +53,7 @@ class BasicBlock(nn.Module):
 class DownsampleShortcut(nn.Module):
     planes: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -55,6 +64,7 @@ class DownsampleShortcut(nn.Module):
             use_bias=False,
             name="0",
             dtype=self.dtype,
+            quant=self.quant,
         )(x)
         return batch_norm(train, "1", self.dtype)(y)
 
@@ -66,6 +76,7 @@ class Stage(nn.Module):
     blocks: int
     in_planes: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -73,10 +84,13 @@ class Stage(nn.Module):
             self.planes,
             downsample=self.in_planes != self.planes,
             dtype=self.dtype,
+            quant=self.quant,
             name="0",
         )(x, train)
         for i in range(1, self.blocks):
-            x = BasicBlock(self.planes, dtype=self.dtype, name=str(i))(x, train)
+            x = BasicBlock(
+                self.planes, dtype=self.dtype, quant=self.quant, name=str(i)
+            )(x, train)
         return x
 
 
@@ -86,40 +100,50 @@ class ResNetFeatures(nn.Module):
     output_channel: int = 512
     layers: Sequence[int] = (1, 2, 5, 3)
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         oc = self.output_channel
         blocks = [oc // 4, oc // 2, oc, oc]
 
-        x = conv(oc // 16, use_bias=False, name="conv0_1", dtype=self.dtype)(x)
+        x = conv(oc // 16, use_bias=False, name="conv0_1", dtype=self.dtype,
+                 quant=self.quant)(x)
         x = nn.relu(batch_norm(train, "bn0_1", self.dtype)(x))
-        x = conv(oc // 8, use_bias=False, name="conv0_2", dtype=self.dtype)(x)
+        x = conv(oc // 8, use_bias=False, name="conv0_2", dtype=self.dtype,
+                 quant=self.quant)(x)
         x = nn.relu(batch_norm(train, "bn0_2", self.dtype)(x))
 
         x = max_pool(x, (2, 2), (2, 2))
-        x = Stage(blocks[0], self.layers[0], oc // 8, self.dtype, name="layer1")(
+        x = Stage(blocks[0], self.layers[0], oc // 8, self.dtype,
+                  self.quant, name="layer1")(
             x, train
         )
-        x = conv(blocks[0], use_bias=False, name="conv1", dtype=self.dtype)(x)
+        x = conv(blocks[0], use_bias=False, name="conv1", dtype=self.dtype,
+                 quant=self.quant)(x)
         x = nn.relu(batch_norm(train, "bn1", self.dtype)(x))
 
         x = max_pool(x, (2, 2), (2, 2))
-        x = Stage(blocks[1], self.layers[1], blocks[0], self.dtype, name="layer2")(
+        x = Stage(blocks[1], self.layers[1], blocks[0], self.dtype,
+                  self.quant, name="layer2")(
             x, train
         )
-        x = conv(blocks[1], use_bias=False, name="conv2", dtype=self.dtype)(x)
+        x = conv(blocks[1], use_bias=False, name="conv2", dtype=self.dtype,
+                 quant=self.quant)(x)
         x = nn.relu(batch_norm(train, "bn2", self.dtype)(x))
 
         # Asymmetric: height halves, width preserved (+1 pad both sides).
         x = max_pool(x, (2, 2), (2, 1), padding=((0, 0), (1, 1)))
-        x = Stage(blocks[2], self.layers[2], blocks[1], self.dtype, name="layer3")(
+        x = Stage(blocks[2], self.layers[2], blocks[1], self.dtype,
+                  self.quant, name="layer3")(
             x, train
         )
-        x = conv(blocks[2], use_bias=False, name="conv3", dtype=self.dtype)(x)
+        x = conv(blocks[2], use_bias=False, name="conv3", dtype=self.dtype,
+                 quant=self.quant)(x)
         x = nn.relu(batch_norm(train, "bn3", self.dtype)(x))
 
-        x = Stage(blocks[3], self.layers[3], blocks[2], self.dtype, name="layer4")(
+        x = Stage(blocks[3], self.layers[3], blocks[2], self.dtype,
+                  self.quant, name="layer4")(
             x, train
         )
         x = conv(
@@ -130,6 +154,7 @@ class ResNetFeatures(nn.Module):
             use_bias=False,
             name="conv4_1",
             dtype=self.dtype,
+            quant=self.quant,
         )(x)
         x = nn.relu(batch_norm(train, "bn4_1", self.dtype)(x))
         x = conv(
@@ -140,6 +165,7 @@ class ResNetFeatures(nn.Module):
             use_bias=False,
             name="conv4_2",
             dtype=self.dtype,
+            quant=self.quant,
         )(x)
         x = nn.relu(batch_norm(train, "bn4_2", self.dtype)(x))
         return x  # [B, 1, W', C] for 32-high inputs
@@ -151,9 +177,11 @@ class ResNet50v2(nn.Module):
 
     output_channel: int = 512
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         return ResNetFeatures(
-            self.output_channel, dtype=self.dtype, name="ConvNet"
+            self.output_channel, dtype=self.dtype, quant=self.quant,
+            name="ConvNet",
         )(x, train)

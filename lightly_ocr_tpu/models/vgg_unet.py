@@ -62,6 +62,7 @@ _VGG_SLICES = {
 class _VggSlice(nn.Module):
     ops: tuple
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -72,7 +73,10 @@ class _VggSlice(nn.Module):
                 x = max_pool(x, (2, 2), (2, 2))
             else:
                 _, idx, ch = op
-                x = conv(ch, use_bias=True, name=str(idx), dtype=self.dtype)(x)
+                x = conv(
+                    ch, use_bias=True, name=str(idx), dtype=self.dtype,
+                    quant=self.quant,
+                )(x)
                 x = batch_norm(train, str(idx + 1), self.dtype)(x)
         return x
 
@@ -81,16 +85,17 @@ class VggBackbone(nn.Module):
     """VGG16-BN sliced per the reference (``vgg_bn.py:34-82``)."""
 
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         outs = {}
         for name in ("slice1", "slice2", "slice3", "slice4"):
-            x = _VggSlice(tuple(_VGG_SLICES[name]), self.dtype, name=name)(
-                x, train
-            )
+            x = _VggSlice(
+                tuple(_VGG_SLICES[name]), self.dtype, self.quant, name=name
+            )(x, train)
             outs[name] = x
-        outs["fc7"] = _Slice5(self.dtype, name="slice5")(x)
+        outs["fc7"] = _Slice5(self.dtype, self.quant, name="slice5")(x)
         return outs
 
 
@@ -100,10 +105,25 @@ class _Slice5(nn.Module):
     mirror the torch Sequential (0 is the pool)."""
 
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from lightly_ocr_tpu.models.layers import QuantConv
+
         x = max_pool(x, (3, 3), (1, 1), ((1, 1), (1, 1)))
+        if self.quant:
+            x = QuantConv(
+                1024,
+                (3, 3),
+                padding=((6, 6), (6, 6)),
+                dilation=(6, 6),
+                dtype=self.dtype,
+                name="1",
+            )(x)
+            return QuantConv(
+                1024, (1, 1), padding="VALID", dtype=self.dtype, name="2"
+            )(x)
         x = nn.Conv(
             1024,
             (3, 3),
@@ -122,6 +142,7 @@ class UpConv(nn.Module):
     mid: int
     out: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -129,18 +150,25 @@ class UpConv(nn.Module):
             mid: int
             out: int
             dtype: Dtype
+            quant: bool
 
             @nn.compact
             def __call__(self, x, train):
                 x = conv(
-                    self.mid, (1, 1), padding="VALID", name="0", dtype=self.dtype
+                    self.mid, (1, 1), padding="VALID", name="0",
+                    dtype=self.dtype, quant=self.quant,
                 )(x)
                 x = nn.relu(batch_norm(train, "1", self.dtype)(x))
-                x = conv(self.out, (3, 3), name="3", dtype=self.dtype)(x)
+                x = conv(
+                    self.out, (3, 3), name="3", dtype=self.dtype,
+                    quant=self.quant,
+                )(x)
                 x = nn.relu(batch_norm(train, "4", self.dtype)(x))
                 return x
 
-        return _Seq(self.mid, self.out, self.dtype, name="conv")(x, train)
+        return _Seq(self.mid, self.out, self.dtype, self.quant, name="conv")(
+            x, train
+        )
 
 
 def _upsample_to(x: jax.Array, h: int, w: int) -> jax.Array:
@@ -152,31 +180,38 @@ def _upsample_to(x: jax.Array, h: int, w: int) -> jax.Array:
 
 
 class VGG_UNet(nn.Module):
-    """CRAFT detector graph (``ocr/model.py:9-61``)."""
+    """CRAFT detector graph (``ocr/model.py:9-61``).
+
+    ``quant=True`` runs every backbone/decoder conv as a w8a8
+    :class:`~lightly_ocr_tpu.models.layers.QuantConv` on the int8 MXU;
+    the 5-conv classification head stays in ``dtype`` (small channels,
+    and the score maps feed threshold comparisons directly).
+    """
 
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        s = VggBackbone(self.dtype, name="basenet")(x, train)
+        s = VggBackbone(self.dtype, self.quant, name="basenet")(x, train)
 
         y = jnp.concatenate([s["fc7"], s["slice4"]], axis=-1)  # H/16
-        y = UpConv(512, 256, self.dtype, name="upconv1")(y, train)
+        y = UpConv(512, 256, self.dtype, self.quant, name="upconv1")(y, train)
 
         t = s["slice3"]  # H/8
         y = _upsample_to(y, t.shape[1], t.shape[2])
         y = jnp.concatenate([y, t], axis=-1)
-        y = UpConv(256, 128, self.dtype, name="upconv2")(y, train)
+        y = UpConv(256, 128, self.dtype, self.quant, name="upconv2")(y, train)
 
         t = s["slice2"]  # H/4
         y = _upsample_to(y, t.shape[1], t.shape[2])
         y = jnp.concatenate([y, t], axis=-1)
-        y = UpConv(128, 64, self.dtype, name="upconv3")(y, train)
+        y = UpConv(128, 64, self.dtype, self.quant, name="upconv3")(y, train)
 
         t = s["slice1"]  # H/2
         y = _upsample_to(y, t.shape[1], t.shape[2])
         y = jnp.concatenate([y, t], axis=-1)
-        feature = UpConv(64, 32, self.dtype, name="upconv4")(y, train)
+        feature = UpConv(64, 32, self.dtype, self.quant, name="upconv4")(y, train)
 
         class _Head(nn.Module):
             dtype: Dtype

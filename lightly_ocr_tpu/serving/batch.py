@@ -52,8 +52,8 @@ class BatchedOCR:
         mesh: Any = None,
     ):
         self.cfg = cfg
-        self.det_net = VGG_UNet(dtype=dtype)
-        self.rec_net = CRNNet(cfg, dtype=dtype)
+        self.det_net = VGG_UNet(dtype=dtype, quant=cfg.quant_int8)
+        self.rec_net = CRNNet(cfg, dtype=dtype, quant=cfg.quant_int8)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
         self.boxes_per_image = boxes_per_image

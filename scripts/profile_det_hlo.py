@@ -24,7 +24,7 @@ def main():
 
     from lightly_ocr_tpu.models.vgg_unet import VGG_UNet
 
-    B, H, W = 8, 960, 640
+    B, H, W = 16, 960, 640
     rng = np.random.default_rng(0)
     net = VGG_UNet(dtype=jnp.bfloat16)
     canv = jnp.asarray(rng.standard_normal((B, H, W, 3)).astype(np.float32))

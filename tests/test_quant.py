@@ -1,0 +1,131 @@
+"""w8a8 int8 inference path (QuantConv + quant=True model variants).
+
+The int8 serving mode must be a drop-in: identical parameter tree, and
+outputs close enough that the detector's threshold decisions and the
+recognizer's argmax transcripts are preserved.  The reference has no
+quantized path (fp32 cuDNN throughout); this is the TPU-native speed
+mode, gated by these tests.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightly_ocr_tpu.config import Config
+from lightly_ocr_tpu.models.layers import QuantConv, conv
+from lightly_ocr_tpu.models.crnn import CRNNet
+from lightly_ocr_tpu.models.vgg_unet import VGG_UNet
+
+
+def test_quantconv_matches_float_conv_tree_and_value():
+    """Same param tree as nn.Conv; output within int8 rounding error."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 24)), jnp.float32)
+    fl = conv(32, name="c")
+    qt = QuantConv(32, name="c")
+    v = fl.init(jax.random.PRNGKey(1), x)
+    vq = qt.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vq)
+    for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(vq)):
+        assert a.shape == b.shape
+
+    y = fl.apply(v, x)
+    yq = qt.apply(v, x)
+    # w8a8 error bound: ~ (|x|max/254) * sqrt(taps) * |w| scale — for
+    # lecun-normal weights and unit-normal activations, well under 5% of
+    # the output std.
+    err = float(jnp.max(jnp.abs(y - yq)))
+    assert err < 0.05 * float(jnp.std(y)) + 1e-3
+
+
+def test_quantconv_strides_padding_dilation():
+    """Geometry handling must match nn.Conv for every config used by the
+    models: stride-2, VALID 1x1, (2,2) kernels with asymmetric padding,
+    rate-6 dilation (the fc6 conv)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 20, 18, 8)), jnp.float32)
+    cases = [
+        dict(kernel=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))),
+        dict(kernel=(1, 1), strides=(1, 1), padding="VALID"),
+        dict(kernel=(2, 2), strides=(2, 1), padding=((0, 0), (1, 1))),
+        dict(kernel=(3, 3), strides=(1, 1), padding=((6, 6), (6, 6)),
+             dilation=(6, 6)),
+    ]
+    import flax.linen as nn
+
+    for kw in cases:
+        dil = kw.pop("dilation", (1, 1))
+        fl = nn.Conv(6, kw["kernel"], strides=kw["strides"],
+                     padding=kw["padding"], kernel_dilation=dil, name="c")
+        qt = QuantConv(6, kw["kernel"], strides=kw["strides"],
+                       padding=kw["padding"], dilation=dil, name="c")
+        v = fl.init(jax.random.PRNGKey(2), x)
+        y = fl.apply(v, x)
+        yq = qt.apply(v, x)
+        assert y.shape == yq.shape, kw
+        assert float(jnp.max(jnp.abs(y - yq))) < 0.05 * float(jnp.std(y)) + 1e-3
+
+
+@pytest.mark.slow
+def test_vgg_unet_int8_score_maps_close():
+    """quant=True detector reuses float variables verbatim and keeps
+    score maps within a small absolute band (thresholds are 0.4/0.7)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 96, 64, 3)), jnp.float32)
+    m = VGG_UNet()
+    mq = VGG_UNet(quant=True)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y, feat = m.apply(v, x)
+    yq, featq = mq.apply(v, x)
+    assert y.shape == yq.shape and feat.shape == featq.shape
+    assert float(jnp.max(jnp.abs(y - yq))) < 0.02
+
+
+@pytest.mark.slow
+def test_crnn_int8_transcripts_match():
+    """Recognizer argmax transcript is unchanged under int8 backbone."""
+    cfg = Config(transform="TPS", prediction="Attention")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 32, 100, 1)), jnp.float32)
+    m = CRNNet(cfg)
+    mq = CRNNet(cfg, quant=True)
+    v = m.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((2, cfg.num_steps), jnp.int32),
+        False,
+    )
+    p = m.apply(v, x, None, False)
+    pq = mq.apply(v, x, None, False)
+    assert p.shape == pq.shape
+    # random weights -> near-uniform logits; demand overwhelming argmax
+    # agreement rather than exactness at ties
+    agree = float(jnp.mean(jnp.argmax(p, -1) == jnp.argmax(pq, -1)))
+    assert agree > 0.95
+
+
+@pytest.mark.slow
+def test_batched_ocr_int8_box_parity():
+    """End-to-end: int8 BatchedOCR program finds the same valid boxes as
+    the float program on a structured synthetic receipt."""
+    from lightly_ocr_tpu.engines import CRAFT, CRNN
+    from lightly_ocr_tpu.serving.batch import BatchedOCR
+
+    cfg = Config(prediction="CTC", transform="None", max_boxes=8,
+                 canvas_size=256, magnify_ratio=1.0)
+    det = CRAFT(cfg, dtype=jnp.float32)
+    rec = CRNN(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    img = rng.integers(200, 256, (120, 160, 3)).astype(np.float32)
+    img[30:44, 20:90] = 10.0
+    img[70:84, 40:120] = 10.0
+
+    cfg_q = Config(prediction="CTC", transform="None", max_boxes=8,
+                   canvas_size=256, magnify_ratio=1.0, quant_int8=True)
+    a = BatchedOCR(cfg, det.variables, rec.variables, boxes_per_image=8,
+                   dtype=jnp.float32)
+    b = BatchedOCR(cfg_q, det.variables, rec.variables, boxes_per_image=8,
+                   dtype=jnp.float32)
+    ra = a.run_images([img])
+    rb = b.run_images([img])
+    assert len(ra[0]) == len(rb[0])
+    for ia, ib in zip(ra[0], rb[0]):
+        assert np.allclose(ia["rect"], ib["rect"], atol=4.0)
