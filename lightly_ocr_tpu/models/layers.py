@@ -122,6 +122,25 @@ class QuantConv(nn.Module):
             else None
         )
 
+        # Narrow layers are lane-starved, not MXU-bound: int8 measured
+        # NIL gain below 128 channels on v5e (scripts/profile_int8.py),
+        # so they keep the float path (identical params either way).
+        if min(cin, self.features) < 128:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                w.astype(self.dtype),
+                window_strides=self.strides,
+                padding=self.padding,
+                rhs_dilation=self.dilation,
+                dimension_numbers=dn,
+            )
+            if b is not None:
+                y = y + b.astype(self.dtype)
+            return y
+
         sw = jnp.maximum(
             jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12
         ) / 127.0  # [Cout]

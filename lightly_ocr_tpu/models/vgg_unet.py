@@ -228,3 +228,37 @@ class VGG_UNet(nn.Module):
 
         y = _Head(self.dtype, name="conv_cls")(feature)
         return y, feature  # NHWC score maps [B, H/2, W/2, 2]
+
+
+class VGG_UNetTrunk(nn.Module):
+    """VGG_UNet cut just before the tail: returns the H/2-resolution
+    concat (upsampled upconv3 output + slice1, 192 channels) that feeds
+    upconv4.  Same explicitly-named submodules as :class:`VGG_UNet`, so
+    the full model's variable tree applies verbatim (upconv4/conv_cls
+    params are simply not read).  Pairs with
+    :func:`lightly_ocr_tpu.ops.pallas_tail.fused_tail_scores` on TPU.
+    """
+
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        s = VggBackbone(self.dtype, self.quant, name="basenet")(x, train)
+
+        y = jnp.concatenate([s["fc7"], s["slice4"]], axis=-1)  # H/16
+        y = UpConv(512, 256, self.dtype, self.quant, name="upconv1")(y, train)
+
+        t = s["slice3"]  # H/8
+        y = _upsample_to(y, t.shape[1], t.shape[2])
+        y = jnp.concatenate([y, t], axis=-1)
+        y = UpConv(256, 128, self.dtype, self.quant, name="upconv2")(y, train)
+
+        t = s["slice2"]  # H/4
+        y = _upsample_to(y, t.shape[1], t.shape[2])
+        y = jnp.concatenate([y, t], axis=-1)
+        y = UpConv(128, 64, self.dtype, self.quant, name="upconv3")(y, train)
+
+        t = s["slice1"]  # H/2
+        y = _upsample_to(y, t.shape[1], t.shape[2])
+        return jnp.concatenate([y, t], axis=-1)  # [B, H/2, W/2, 192]

@@ -1,0 +1,222 @@
+"""Fused CRAFT detector tail (upconv4 3x3 + cls head) as a Pallas kernel.
+
+The detector's last stage runs at H/2 x W/2 with 64/32/16/2 channels.
+XLA emits each conv as its own fusion and the narrow channel counts
+leave the MXU ~3-15% utilized; with layout copies the tail costs ~17 ms
+of an ~80 ms batch-16 forward (measured via jax.profiler on v5e —
+conv_cls convs at 5.9 TFLOP/s).  Channel-poor convs are lane-starved no
+matter the precision (int8 measured the same 3%), so the fix is fusion:
+one kernel keeps a row-slab of the feature map in VMEM and runs the
+whole chain
+
+    3x3 conv(64->32)+BN+ReLU -> 3x3(32->32)+ReLU -> 3x3(32->32)+ReLU ->
+    3x3(32->16)+ReLU -> 1x1(16->16)+ReLU -> 1x1(16->2)
+
+per slab, writing only the 2-channel score map back to HBM.  All convs
+are im2col dots (w-taps concatenated on the lane dim, K=3C) so the MXU
+does the arithmetic; HBM traffic drops from ~10 activation round-trips
+to one read + one (tiny) write.
+
+Parity: reference head semantics at ``ocr/model.py:34-46`` (upconv4 +
+conv_cls); numerics tested against the unfused flax modules in
+``tests/test_pallas_tail.py`` (interpret mode on CPU, device mode in the
+serving path tests).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 4  # four stacked 3x3 convs -> 4 rows/cols of context per side
+
+
+def _conv3(src, wk, bias):
+    """[R, Wd, C] x [3, 3C, Co] -> ReLU'd [R-2, Wd-2, Co] (f32 acc).
+
+    ``wk[u]`` holds the u-th row of taps laid out w-tap-major so it
+    contracts against a lane-dim concat of the three w-shifted slices.
+    """
+    R, Wd, C = src.shape
+    Ro, Wo = R - 2, Wd - 2
+    acc = None
+    for u in range(3):
+        rs = src[u : u + Ro]
+        cat = jnp.concatenate(
+            [rs[:, 0:Wo], rs[:, 1 : 1 + Wo], rs[:, 2 : 2 + Wo]], axis=-1
+        )
+        d = jax.lax.dot_general(
+            cat,
+            wk[u],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    return jnp.maximum(acc + bias, 0.0).astype(src.dtype)
+
+
+def _tail_kernel(
+    rows, h2, w2,
+    xp_hbm,
+    wa_ref, ba_ref, w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
+    w6_ref, b6_ref, w8_ref, b8_ref,
+    out_ref,
+    slab, sem,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[b, pl.ds(i * rows, rows + 2 * HALO)], slab, sem
+    )
+    cp.start()
+    cp.wait()
+
+    def rezero(t, stage):
+        """Zero positions outside the true image: stacked SAME convs pad
+        each INTERMEDIATE with zeros, so virtual halo cells must read 0,
+        not conv(0)=relu(bias).  After stage k the slab's (r, c) maps to
+        image (i*rows + r - off, c - off) with off = HALO - k."""
+        off = HALO - stage
+        ro, wo, _ = t.shape
+        r_img = (
+            jax.lax.broadcasted_iota(jnp.int32, (ro, wo), 0)
+            + i * rows - off
+        )
+        c_img = jax.lax.broadcasted_iota(jnp.int32, (ro, wo), 1) - off
+        ok = (r_img >= 0) & (r_img < h2) & (c_img >= 0) & (c_img < w2)
+        return jnp.where(ok[..., None], t, jnp.zeros_like(t))
+
+    x = rezero(_conv3(slab[:], wa_ref[:], ba_ref[:]), 1)  # [rows+6, W+6, 32]
+    x = rezero(_conv3(x, w0_ref[:], b0_ref[:]), 2)        # [rows+4, W+4, 32]
+    x = rezero(_conv3(x, w2_ref[:], b2_ref[:]), 3)        # [rows+2, W+2, 32]
+    x = _conv3(x, w4_ref[:], b4_ref[:])                   # [rows,   W,   16]
+    e = jnp.maximum(
+        jax.lax.dot_general(
+            x, w6_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b6_ref[:],
+        0.0,
+    ).astype(x.dtype)
+    o = (
+        jax.lax.dot_general(
+            e, w8_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b8_ref[:]
+    )
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def _fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
+    """conv(+bias) -> BN  ==  conv with folded kernel/bias."""
+    s = scale / jnp.sqrt(var + eps)
+    return kernel * s, (bias - mean) * s + shift
+
+
+def _wtap(kernel):
+    """[3, 3, C, Co] float kernel -> bf16 [3, 3C, Co] w-tap-major."""
+    k = jnp.asarray(kernel, jnp.float32)
+    return k.reshape(3, -1, k.shape[-1]).astype(jnp.bfloat16)
+
+
+def _pick_rows(h2: int) -> int:
+    for r in (32, 16, 8, 4):
+        if h2 % r == 0:
+            return r
+    return 0
+
+
+def tail_params(variables: dict) -> tuple:
+    """Extract + fold the tail weights from a VGG_UNet variable tree.
+
+    Returns the 14-tuple of kernel/bias operands the kernel consumes:
+    upconv4's 1x1 stage (applied in XLA before the kernel) and the six
+    fused stages.  Shapes follow the flax param tree
+    (``upconv4/conv/{0,1,3,4}``, ``conv_cls/{0,2,4,6,8}``).
+    """
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    pc, bc = p["upconv4"]["conv"], bs["upconv4"]["conv"]
+
+    # 1x1 (192->64) + BN folded — applied in XLA (well-shaped matmul).
+    k1, b1 = _fold_bn(
+        pc["0"]["kernel"][0, 0], pc["0"]["bias"],
+        pc["1"]["scale"], pc["1"]["bias"],
+        bc["1"]["mean"], bc["1"]["var"],
+    )
+    # 3x3 (64->32) + BN folded — stage A of the kernel.
+    ka, ba = _fold_bn(
+        pc["3"]["kernel"], pc["3"]["bias"],
+        pc["4"]["scale"], pc["4"]["bias"],
+        bc["4"]["mean"], bc["4"]["var"],
+    )
+    h = p["conv_cls"]
+
+    def b_(x):
+        return jnp.asarray(x, jnp.float32).reshape(1, 1, -1)
+
+    return (
+        k1.astype(jnp.bfloat16), b_(b1),
+        _wtap(ka), b_(ba),
+        _wtap(h["0"]["kernel"]), b_(h["0"]["bias"]),
+        _wtap(h["2"]["kernel"]), b_(h["2"]["bias"]),
+        _wtap(h["4"]["kernel"]), b_(h["4"]["bias"]),
+        jnp.asarray(h["6"]["kernel"][0, 0], jnp.bfloat16), b_(h["6"]["bias"]),
+        jnp.asarray(h["8"]["kernel"][0, 0], jnp.bfloat16), b_(h["8"]["bias"]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_tail_scores(
+    variables: dict, y192: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """[B, H2, W2, 192] trunk activation -> [B, H2, W2, 2] score maps.
+
+    ``y192`` is the H/2-resolution concat of the upsampled upconv3
+    output and slice1 (see :class:`~lightly_ocr_tpu.models.vgg_unet.
+    VGG_UNetTrunk`).  Falls back to raising if H2 has no usable row
+    split — callers gate on :func:`fused_tail_supported`.
+    """
+    B, H2, W2, _ = y192.shape
+    rows = _pick_rows(H2)
+    if rows == 0:
+        raise ValueError(f"fused tail: H/2={H2} not divisible by 4")
+    (k1, b1, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8) = tail_params(
+        variables
+    )
+
+    # upconv4 1x1 + BN + ReLU in XLA (K=192 matmul, MXU-friendly).
+    x = jax.lax.dot_general(
+        y192.astype(jnp.bfloat16), k1,
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    x = jnp.maximum(x + b1[None], 0.0).astype(jnp.bfloat16)
+
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO), (HALO, HALO), (0, 0)))
+
+    kernel = functools.partial(_tail_kernel, rows, H2, W2)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H2 // rows),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [wspec] * 12,
+        out_specs=pl.BlockSpec(
+            (1, rows, W2, 2), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H2, W2, 2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * HALO, W2 + 2 * HALO, 64), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8)
+
+
+def fused_tail_supported(h2: int) -> bool:
+    return _pick_rows(h2) != 0

@@ -25,7 +25,7 @@ import numpy as np
 
 from lightly_ocr_tpu.config import Config
 from lightly_ocr_tpu.models.crnn import CRNNet
-from lightly_ocr_tpu.models.vgg_unet import VGG_UNet
+from lightly_ocr_tpu.models.vgg_unet import VGG_UNet, VGG_UNetTrunk
 from lightly_ocr_tpu.ops.crop import crop_resize_normalize_matmul
 from lightly_ocr_tpu.ops.detection import get_det_boxes
 from lightly_ocr_tpu.text.converters import build_converter
@@ -53,6 +53,7 @@ class BatchedOCR:
     ):
         self.cfg = cfg
         self.det_net = VGG_UNet(dtype=dtype, quant=cfg.quant_int8)
+        self.det_trunk = VGG_UNetTrunk(dtype=dtype, quant=cfg.quant_int8)
         self.rec_net = CRNNet(cfg, dtype=dtype, quant=cfg.quant_int8)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
@@ -67,10 +68,25 @@ class BatchedOCR:
         det_net, rec_net = self.det_net, self.rec_net
         is_ctc = cfg.prediction == "CTC"
 
+        det_trunk = self.det_trunk
+
         def program(det_vars, rec_vars, canvases, gray, inv_ratio):
-            # 1) detector forward on the whole batch
-            y, _ = det_net.apply(det_vars, canvases)
-            y = y.astype(jnp.float32)
+            # 1) detector forward on the whole batch.  On TPU the
+            # channel-poor tail (upconv4 3x3 + cls head) runs as ONE
+            # fused Pallas kernel — ~3.5x the tail throughput of the
+            # per-conv XLA fusions (see ops/pallas_tail.py).
+            from lightly_ocr_tpu.ops.pallas_tail import (
+                fused_tail_scores,
+                fused_tail_supported,
+            )
+
+            h2 = canvases.shape[1] // 2
+            if jax.default_backend() == "tpu" and fused_tail_supported(h2):
+                y192 = det_trunk.apply(det_vars, canvases)
+                y = fused_tail_scores(det_vars, y192)
+            else:
+                y, _ = det_net.apply(det_vars, canvases)
+                y = y.astype(jnp.float32)
 
             # 2) on-device box extraction: on TPU the CC labeling runs
             # batched as a Pallas kernel (grid = one VMEM-resident image
