@@ -59,6 +59,8 @@ class BatchedOCR:
         self.rec_variables = rec_variables
         self.boxes_per_image = boxes_per_image
         self.converter = build_converter(cfg.prediction, cfg.character)
+        # single-char lookup table for the vectorized host decode
+        self._chartab = np.asarray(self.converter.character, dtype="<U1")
         self.mesh = mesh
         self._program = self._build()
 
@@ -248,19 +250,45 @@ class BatchedOCR:
         return self.decode(out)
 
     def decode(self, out: dict) -> list[list[dict]]:
-        """Device outputs -> per-image [{text, confidence, rect}]."""
+        """Device outputs -> per-image [{text, confidence, rect}].
+
+        The text decode is vectorized: character lookup / EOS stops /
+        CTC collapse masks are computed for the whole [B, M, T] block in
+        numpy, and per-box work is reduced to a string slice (attention)
+        or one small fancy-index + join (CTC).  Equivalent to running the
+        converter per box (tested), ~10x less host time per dispatch.
+        """
         valid = np.asarray(out["valid"])
         idx = np.asarray(out["pred_idx"])
         conf = np.asarray(out["confidence"])
         rects = np.asarray(out["rects"])
+        B, M, T = idx.shape
+        chars = np.ascontiguousarray(self._chartab[idx])  # [B, M, T] '<U1'
+        full = chars.view(f"<U{T}")[..., 0]  # [B, M] full-length strings
+        if self.cfg.prediction == "CTC":
+            # collapse repeats then drop blanks: keep positions that are
+            # non-blank AND differ from the previous step's index
+            prev = np.concatenate(
+                [np.full((B, M, 1), -1, idx.dtype), idx[..., :-1]], axis=-1
+            )
+            keep = (idx != 0) & (idx != prev)
+        else:
+            eos = idx == self.converter.eos_index
+            stop = np.where(eos.any(-1), eos.argmax(-1), T)
+            # '[GO]' (index 0) is a multi-char token the '<U1' table
+            # truncates; rows that emit it before EOS (rare — an
+            # untrained/confused decoder) take the converter fallback
+            go_before_stop = ((idx == 0) & (np.arange(T) < stop[..., None])).any(-1)
         results = []
-        for b in range(valid.shape[0]):
+        for b in range(B):
             items = []
             for m in np.nonzero(valid[b])[0]:
                 if self.cfg.prediction == "CTC":
-                    text = self.converter.decode_padded(idx[b, m][None])[0]
-                else:
+                    text = "".join(self._chartab[idx[b, m][keep[b, m]]])
+                elif go_before_stop[b, m]:
                     text = self.converter.decode_trimmed(idx[b, m][None])[0]
+                else:
+                    text = full[b, m][: stop[b, m]]
                 items.append(
                     {
                         "text": text,
