@@ -81,6 +81,8 @@ def main(argv=None) -> int:
                    help="disable bfloat16 compute")
     p.add_argument("--int8", action="store_true",
                    help="w8a8 dynamic int8 backbone convs (v5e int8 MXU)")
+    p.add_argument("--granularity", type=int, default=None,
+                   help="canvas bucket granularity override (default: config)")
     p.add_argument("--full", action="store_true",
                    help="also run the 64-concurrent config-5 measurement")
     args = p.parse_args(argv)
@@ -100,7 +102,9 @@ def main(argv=None) -> int:
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     cfg = Config(prediction=args.prediction, transform="TPS",
-                 max_boxes=args.boxes, quant_int8=args.int8)
+                 max_boxes=args.boxes, quant_int8=args.int8,
+                 **({"bucket_granularity": args.granularity}
+                    if args.granularity else {}))
 
     # Build engines (random weights unless checkpoints exist in
     # cfg.pretrained) and the fused batch program.

@@ -37,24 +37,26 @@ HALO = 4  # four stacked 3x3 convs -> 4 rows/cols of context per side
 def _conv3(src, wk, bias):
     """[R, Wd, C] x [3, 3C, Co] -> ReLU'd [R-2, Wd-2, Co] (f32 acc).
 
-    ``wk[u]`` holds the u-th row of taps laid out w-tap-major so it
-    contracts against a lane-dim concat of the three w-shifted slices.
+    ``wk[u]`` holds the u-th kernel row's taps stacked w-tap-major on its
+    first axis.  Each of the nine taps contracts as its own [.., C] x
+    [C, Co] dot against the (u, v)-shifted window — Mosaic cannot yet
+    concatenate w-shifted slices on the lane dim (offset mismatch on the
+    sublane dim), so the im2col-style K=3C dot is expressed as a sum of
+    K=C dots instead; the MXU accumulates them in f32 either way.
     """
     R, Wd, C = src.shape
     Ro, Wo = R - 2, Wd - 2
     acc = None
     for u in range(3):
         rs = src[u : u + Ro]
-        cat = jnp.concatenate(
-            [rs[:, 0:Wo], rs[:, 1 : 1 + Wo], rs[:, 2 : 2 + Wo]], axis=-1
-        )
-        d = jax.lax.dot_general(
-            cat,
-            wk[u],
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = d if acc is None else acc + d
+        for v in range(3):
+            d = jax.lax.dot_general(
+                rs[:, v : v + Wo],
+                wk[u, v * C : (v + 1) * C],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
     return jnp.maximum(acc + bias, 0.0).astype(src.dtype)
 
 
@@ -80,14 +82,16 @@ def _tail_kernel(
         not conv(0)=relu(bias).  After stage k the slab's (r, c) maps to
         image (i*rows + r - off, c - off) with off = HALO - k."""
         off = HALO - stage
-        ro, wo, _ = t.shape
+        # 3D iotas: Mosaic cannot insert a minor dim on sub-32-bit types
+        # (bf16 `ok[..., None]` fails to compile), so build the mask at
+        # the value's full rank directly.
         r_img = (
-            jax.lax.broadcasted_iota(jnp.int32, (ro, wo), 0)
+            jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
             + i * rows - off
         )
-        c_img = jax.lax.broadcasted_iota(jnp.int32, (ro, wo), 1) - off
+        c_img = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) - off
         ok = (r_img >= 0) & (r_img < h2) & (c_img >= 0) & (c_img < w2)
-        return jnp.where(ok[..., None], t, jnp.zeros_like(t))
+        return jnp.where(ok, t, jnp.zeros_like(t))
 
     x = rezero(_conv3(slab[:], wa_ref[:], ba_ref[:]), 1)  # [rows+6, W+6, 32]
     x = rezero(_conv3(x, w0_ref[:], b0_ref[:]), 2)        # [rows+4, W+4, 32]
@@ -148,12 +152,16 @@ def tail_params(variables: dict) -> tuple:
         pc["1"]["scale"], pc["1"]["bias"],
         bc["1"]["mean"], bc["1"]["var"],
     )
-    # 3x3 (64->32) + BN folded — stage A of the kernel.
+    # 3x3 (64->32) + BN folded — stage A of the kernel.  The input-
+    # channel dim is zero-padded 64 -> 128 to match the lane-padded
+    # slab (TPU DMA slices must be tile-aligned on the lane dim) —
+    # which also fills the MXU's 128-deep contraction for stage A.
     ka, ba = _fold_bn(
         pc["3"]["kernel"], pc["3"]["bias"],
         pc["4"]["scale"], pc["4"]["bias"],
         bc["4"]["mean"], bc["4"]["var"],
     )
+    ka = jnp.pad(ka, ((0, 0), (0, 0), (0, 64), (0, 0)))
     h = p["conv_cls"]
 
     def b_(x):
@@ -197,7 +205,10 @@ def fused_tail_scores(
     )
     x = jnp.maximum(x + b1[None], 0.0).astype(jnp.bfloat16)
 
-    xp = jnp.pad(x, ((0, 0), (HALO, HALO), (HALO, HALO), (0, 0)))
+    # Pad channels 64 -> 128: the HBM buffer is lane-padded to 128
+    # anyway, and an explicit full-width channel dim keeps the slab DMA
+    # tile-aligned (Mosaic rejects a 64-wide slice of a 128-lane tile).
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO), (HALO, HALO), (0, 64)))
 
     kernel = functools.partial(_tail_kernel, rows, H2, W2)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -211,7 +222,7 @@ def fused_tail_scores(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H2, W2, 2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2 * HALO, W2 + 2 * HALO, 64), jnp.bfloat16),
+            pltpu.VMEM((rows + 2 * HALO, W2 + 2 * HALO, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
