@@ -99,6 +99,61 @@ class VggBackbone(nn.Module):
         return outs
 
 
+# slice1 split around conv1_2 (torch idx 3) for the fused Pallas stem:
+# prefix = conv0+BN+ReLU (runs in XLA), the Pallas kernel covers
+# conv3+BN+ReLU, and the post ops resume from the pool.
+_SLICE1_PREFIX = (("C", 0, 64), ("R",))
+_SLICE1_POST = (("P",), ("C", 7, 128), ("R",), ("C", 10, 128), ("R",))
+
+
+class VggStemPrefix(nn.Module):
+    """conv1_1 + BN + ReLU only (``basenet/slice1/{0,1}`` params) — the
+    XLA-side prefix feeding :func:`~lightly_ocr_tpu.ops.pallas_stem.
+    fused_stem_conv`.  Shares the full model's variable tree."""
+
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        class _B(nn.Module):
+            dtype: Dtype
+            quant: bool
+
+            @nn.compact
+            def __call__(self, x, train):
+                return _VggSlice(
+                    _SLICE1_PREFIX, self.dtype, self.quant, name="slice1"
+                )(x, train)
+
+        return _B(self.dtype, self.quant, name="basenet")(x, train)
+
+
+class _FromStemBasenet(nn.Module):
+    """Backbone resuming from the fused conv1_2 activation: the rest of
+    slice1 (pool + the two 128-channel convs), then slices 2-5.  Param
+    names coincide with :class:`VggBackbone` so one variable tree serves
+    both (flax ignores the prefix params this module never reads)."""
+
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        outs = {}
+        x = _VggSlice(_SLICE1_POST, self.dtype, self.quant, name="slice1")(
+            x, train
+        )
+        outs["slice1"] = x
+        for name in ("slice2", "slice3", "slice4"):
+            x = _VggSlice(
+                tuple(_VGG_SLICES[name]), self.dtype, self.quant, name=name
+            )(x, train)
+            outs[name] = x
+        outs["fc7"] = _Slice5(self.dtype, self.quant, name="slice5")(x)
+        return outs
+
+
 class _Slice5(nn.Module):
     """fc6/fc7 head: maxpool(3,s1,p1) + dilated 3x3 conv (rate 6,
     512->1024) + 1x1 conv (``vgg_bn.py:54-55``); children named 1/2 to
@@ -237,14 +292,21 @@ class VGG_UNetTrunk(nn.Module):
     the full model's variable tree applies verbatim (upconv4/conv_cls
     params are simply not read).  Pairs with
     :func:`lightly_ocr_tpu.ops.pallas_tail.fused_tail_scores` on TPU.
+
+    With ``from_stem=True`` the input is the fused Pallas conv1_2
+    activation (``[B, H, W, 64]``, see :mod:`~lightly_ocr_tpu.ops.
+    pallas_stem`) instead of the canvas, and the backbone resumes from
+    the slice1 pool.
     """
 
     dtype: Dtype = jnp.float32
     quant: bool = False
+    from_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        s = VggBackbone(self.dtype, self.quant, name="basenet")(x, train)
+        bb = _FromStemBasenet if self.from_stem else VggBackbone
+        s = bb(self.dtype, self.quant, name="basenet")(x, train)
 
         y = jnp.concatenate([s["fc7"], s["slice4"]], axis=-1)  # H/16
         y = UpConv(512, 256, self.dtype, self.quant, name="upconv1")(y, train)

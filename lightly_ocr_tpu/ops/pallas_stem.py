@@ -1,0 +1,172 @@
+"""Fused CRAFT stem conv (VGG conv1_2, 64->64 at full canvas res).
+
+The detector's single most expensive conv is torchvision index 3 —
+3x3, 64->64 channels at full canvas resolution (45 GFLOP/receipt at
+960x640; reference topology ``ocr/modules/vgg_bn.py:44-47``).  XLA:TPU
+runs this shape at ~33 TFLOP/s (~16% of v5e bf16 peak; measured in
+``scripts/profile_int8.py``): with only 64 channels, both the
+contraction depth and the output lanes of the 128x128 MXU sit half
+empty, and int8 measured identical — the limit is lane occupancy, not
+arithmetic.
+
+This kernel restructures the conv so the MXU contraction is DENSE:
+
+* XLA prepares ``xcat = concat([xp, shift_w(xp, 1)], channels)`` — a
+  128-channel buffer whose lanes hold w-taps 0 and 1 of the padded
+  conv1_1 output (2x HBM for this one activation; ~1.5 ms extra DMA at
+  batch 16 against a >2x MXU win).
+* Per row-tap ``u`` the kernel issues TWO dots: a K=128 fully dense dot
+  against ``xcat`` covering w-taps (0, 1), and a K=64 dot against the
+  first half of ``xcat`` shifted two columns for w-tap 2.  Six dots
+  total instead of nine sparse ones: ~56% -> 37.5% MXU slot density
+  becomes the ceiling instead of 25%.
+* conv bias + BatchNorm are folded into the weights (inference), ReLU
+  applied in-register, one HBM write of the 64-channel result.
+
+The kernel is a SAME conv whose input is zero-padded by the caller, so
+no interior re-zeroing is needed (single conv — contrast with the
+stacked stages in :mod:`~lightly_ocr_tpu.ops.pallas_tail`).
+
+Numerics are tested against the unfused flax slice in
+``tests/test_pallas_stem.py`` (interpret mode); device mode is gated by
+``scripts/check_pallas_stem_hw.py`` and exercised by the serving path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _stem_kernel(rows, w01_ref, w2_ref, b_ref, xcat_hbm, out_ref, slab_ref, sem):
+    """One (batch, row-block) step: [rows+2, W+2, 128] slab -> ReLU'd
+    conv output [rows, W, 64].
+
+    Row blocks OVERLAP by the 3x3 halo, which BlockSpec index maps
+    cannot express — the slab is DMA'd by hand from the un-blocked HBM
+    buffer (``pl.ANY``), exactly like the detector tail kernel.
+
+    ``w01_ref`` [3, 128, 64]: per row-tap, w-taps 0 and 1 stacked on the
+    contraction dim (matching xcat's channel layout).  ``w2_ref``
+    [3, 64, 64]: w-tap 2, contracted against the un-shifted first half
+    of the slab two columns over.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xcat_hbm.at[b, pl.ds(i * rows, rows + 2)], slab_ref, sem
+    )
+    cp.start()
+    cp.wait()
+    slab = slab_ref[:]
+    R = rows
+    Wo = out_ref.shape[2]
+    acc = None
+    for u in range(3):
+        rs = slab[u : u + R]
+        d = jax.lax.dot_general(
+            rs[:, 0:Wo],
+            w01_ref[u],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jax.lax.dot_general(
+            rs[:, 2 : 2 + Wo, 0:64],
+            w2_ref[u],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = d + d2
+        acc = s if acc is None else acc + s
+    out_ref[0] = jnp.maximum(acc + b_ref[:], 0.0).astype(out_ref.dtype)
+
+
+def _fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
+    s = scale / jnp.sqrt(var + eps)
+    return kernel * s, (bias - mean) * s + shift
+
+
+def stem_params(variables: dict) -> tuple:
+    """(w01 [3,128,64], w2 [3,64,64], b [1,1,64]) — conv1_2 (torch idx
+    3) with BN (idx 4) folded, laid out for the kernel's dots."""
+    p = variables["params"]["basenet"]["slice1"]
+    bs = variables["batch_stats"]["basenet"]["slice1"]
+    k, b = _fold_bn(
+        p["3"]["kernel"], p["3"]["bias"],
+        p["4"]["scale"], p["4"]["bias"],
+        bs["4"]["mean"], bs["4"]["var"],
+    )
+    k = jnp.asarray(k, jnp.float32)  # [3, 3, 64, 64] (kh, kw, cin, cout)
+    w01 = jnp.concatenate([k[:, 0], k[:, 1]], axis=1)  # [3, 128, 64]
+    w2 = k[:, 2]  # [3, 64, 64]
+    return (
+        w01.astype(jnp.bfloat16),
+        w2.astype(jnp.bfloat16),
+        jnp.asarray(b, jnp.float32).reshape(1, 1, -1),
+    )
+
+
+def _pick_rows(h: int) -> int:
+    for r in (32, 16, 8, 4):
+        if h % r == 0:
+            return r
+    return 0
+
+
+def stem_supported(h: int) -> bool:
+    return _pick_rows(h) != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_stem_conv(
+    variables: dict, x0: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """conv1_1 output [B, H, W, 64] -> ReLU(BN(conv1_2(x))) [B, H, W, 64].
+
+    ``x0`` is the conv0+BN+ReLU activation (see
+    :class:`~lightly_ocr_tpu.models.vgg_unet.VggStemPrefix`).  The
+    remaining slice1 ops (pool + the two 128-channel convs) run in XLA,
+    which already sustains ~80 TFLOP/s at those shapes.
+    """
+    B, H, W, C = x0.shape
+    if C != 64:
+        raise ValueError(f"fused stem expects 64 channels, got {C}")
+    rows = _pick_rows(H)
+    if rows == 0:
+        raise ValueError(f"fused stem: H={H} not divisible by 4")
+    w01, w2, b = stem_params(variables)
+
+    xp = jnp.pad(x0.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Lane-dense two-tap layout: channels [xp(w), xp(w+1)].  The final
+    # column's second half reads past the pad and is zero-filled; it is
+    # never touched by a valid output column.
+    shifted = jnp.pad(
+        xp[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0))
+    )
+    xcat = jnp.concatenate([xp, shifted], axis=-1)  # [B, H+2, W+2, 128]
+
+    kernel = functools.partial(_stem_kernel, rows)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // rows),
+        in_specs=[
+            wspec,
+            wspec,
+            wspec,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, W, 64), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, 64), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2, W + 2, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(w01, w2, b, xcat)

@@ -25,7 +25,11 @@ import numpy as np
 
 from lightly_ocr_tpu.config import Config
 from lightly_ocr_tpu.models.crnn import CRNNet
-from lightly_ocr_tpu.models.vgg_unet import VGG_UNet, VGG_UNetTrunk
+from lightly_ocr_tpu.models.vgg_unet import (
+    VGG_UNet,
+    VGG_UNetTrunk,
+    VggStemPrefix,
+)
 from lightly_ocr_tpu.ops.crop import crop_resize_normalize_matmul
 from lightly_ocr_tpu.ops.detection import get_det_boxes
 from lightly_ocr_tpu.text.converters import build_converter
@@ -54,6 +58,10 @@ class BatchedOCR:
         self.cfg = cfg
         self.det_net = VGG_UNet(dtype=dtype, quant=cfg.quant_int8)
         self.det_trunk = VGG_UNetTrunk(dtype=dtype, quant=cfg.quant_int8)
+        self.det_stem = VggStemPrefix(dtype=dtype, quant=cfg.quant_int8)
+        self.det_trunk_fs = VGG_UNetTrunk(
+            dtype=dtype, quant=cfg.quant_int8, from_stem=True
+        )
         self.rec_net = CRNNet(cfg, dtype=dtype, quant=cfg.quant_int8)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
@@ -71,20 +79,32 @@ class BatchedOCR:
         is_ctc = cfg.prediction == "CTC"
 
         det_trunk = self.det_trunk
+        det_stem, det_trunk_fs = self.det_stem, self.det_trunk_fs
 
         def program(det_vars, rec_vars, canvases, gray, inv_ratio):
-            # 1) detector forward on the whole batch.  On TPU the
-            # channel-poor tail (upconv4 3x3 + cls head) runs as ONE
-            # fused Pallas kernel — ~3.5x the tail throughput of the
-            # per-conv XLA fusions (see ops/pallas_tail.py).
+            # 1) detector forward on the whole batch.  On TPU two Pallas
+            # kernels replace the MXU-starved extremes of the graph: the
+            # full-res 64-channel conv1_2 (ops/pallas_stem.py) and the
+            # channel-poor tail (upconv4 3x3 + cls head,
+            # ops/pallas_tail.py); XLA keeps the well-shaped middle.
+            from lightly_ocr_tpu.ops.pallas_stem import (
+                fused_stem_conv,
+                stem_supported,
+            )
             from lightly_ocr_tpu.ops.pallas_tail import (
                 fused_tail_scores,
                 fused_tail_supported,
             )
 
-            h2 = canvases.shape[1] // 2
+            h = canvases.shape[1]
+            h2 = h // 2
             if jax.default_backend() == "tpu" and fused_tail_supported(h2):
-                y192 = det_trunk.apply(det_vars, canvases)
+                if stem_supported(h) and not cfg.quant_int8:
+                    x0 = det_stem.apply(det_vars, canvases)
+                    s1c = fused_stem_conv(det_vars, x0)
+                    y192 = det_trunk_fs.apply(det_vars, s1c)
+                else:
+                    y192 = det_trunk.apply(det_vars, canvases)
                 y = fused_tail_scores(det_vars, y192)
             else:
                 y, _ = det_net.apply(det_vars, canvases)

@@ -1,0 +1,67 @@
+"""Fused stem conv (Pallas, interpret mode) vs the flax modules."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightly_ocr_tpu.models.vgg_unet import (
+    VGG_UNet,
+    VGG_UNetTrunk,
+    VggStemPrefix,
+)
+from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv, stem_supported
+
+
+def test_fused_stem_composition_matches_trunk():
+    """prefix -> Pallas conv1_2 -> from_stem trunk == the plain trunk
+    (whole-composition check incl. the split modules' param scopes)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 96, 64, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(0), x)
+
+    y_ref = VGG_UNetTrunk(dtype=jnp.bfloat16).apply(v, x)
+
+    assert stem_supported(96)
+    x0 = VggStemPrefix(dtype=jnp.bfloat16).apply(v, x)
+    assert x0.shape == (1, 96, 64, 64)
+    s1c = fused_stem_conv(v, x0, interpret=True)
+    assert s1c.shape == (1, 96, 64, 64)
+    y = VGG_UNetTrunk(dtype=jnp.bfloat16, from_stem=True).apply(v, s1c)
+
+    ref = np.asarray(y_ref, np.float32)
+    got = np.asarray(y, np.float32)
+    assert got.shape == ref.shape
+    # one conv quantizes at a different point; activations are O(1)
+    assert np.max(np.abs(got - ref)) < 3e-2
+    assert np.mean(np.abs(got - ref)) < 2e-3
+
+
+def test_fused_stem_conv_row_blocks():
+    """The overlapping-slab DMA path: H=64 -> rows=32 gives two blocks
+    per image; values at the block seam must match a direct conv."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 64, 32, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(1), x)
+
+    x0 = VggStemPrefix(dtype=jnp.bfloat16).apply(v, x)
+    got = fused_stem_conv(v, x0, interpret=True)
+
+    # direct reference: conv1_2 + BN + ReLU in f32 via lax
+    p = v["params"]["basenet"]["slice1"]
+    bs = v["batch_stats"]["basenet"]["slice1"]
+    k = np.asarray(p["3"]["kernel"], np.float32)
+    b = np.asarray(p["3"]["bias"], np.float32)
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(x0, jnp.float32),
+        jnp.asarray(k),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    scale = np.asarray(p["4"]["scale"], np.float32)
+    shift = np.asarray(p["4"]["bias"], np.float32)
+    mean = np.asarray(bs["4"]["mean"], np.float32)
+    var = np.asarray(bs["4"]["var"], np.float32)
+    ref = np.maximum(
+        (np.asarray(out) - mean) / np.sqrt(var + 1e-5) * scale + shift, 0.0
+    )
+    assert np.max(np.abs(np.asarray(got, np.float32) - ref)) < 3e-2
