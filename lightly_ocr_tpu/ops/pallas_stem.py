@@ -139,14 +139,20 @@ def fused_stem_conv(
         raise ValueError(f"fused stem: H={H} not divisible by 4")
     w01, w2, b = stem_params(variables)
 
-    xp = jnp.pad(x0.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # TPU DMA slices must be 8-aligned on the sublane (W) dim: round the
+    # padded width up to a multiple of 8 with extra zero columns (they
+    # sit past every valid output column, so they are never read).
+    wpad = (-(W + 2)) % 8
+    xp = jnp.pad(
+        x0.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1 + wpad), (0, 0))
+    )
     # Lane-dense two-tap layout: channels [xp(w), xp(w+1)].  The final
     # column's second half reads past the pad and is zero-filled; it is
     # never touched by a valid output column.
     shifted = jnp.pad(
         xp[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0))
     )
-    xcat = jnp.concatenate([xp, shifted], axis=-1)  # [B, H+2, W+2, 128]
+    xcat = jnp.concatenate([xp, shifted], axis=-1)  # [B, H+2, W+2+wpad, 128]
 
     kernel = functools.partial(_stem_kernel, rows)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -165,7 +171,7 @@ def fused_stem_conv(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, 64), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2, W + 2, 128), jnp.bfloat16),
+            pltpu.VMEM((rows + 2, W + 2 + wpad, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -72,6 +72,30 @@ class BatchedOCR:
         self.mesh = mesh
         self._program = self._build()
 
+    def _fused_kernel_plan(self, h: int) -> tuple[bool, bool]:
+        """(use_stem, use_tail) for canvas height ``h`` — TPU only, each
+        gated by shape support and the ``LIGHTLY_OCR_DISABLE_FUSED`` env
+        var (comma list of ``stem``/``tail`` for A/B measurements)."""
+        import os
+
+        from lightly_ocr_tpu.ops.pallas_stem import stem_supported
+        from lightly_ocr_tpu.ops.pallas_tail import fused_tail_supported
+
+        disabled = set(
+            os.environ.get("LIGHTLY_OCR_DISABLE_FUSED", "").split(",")
+        )
+        on_tpu = jax.default_backend() == "tpu"
+        use_tail = (
+            on_tpu and fused_tail_supported(h // 2) and "tail" not in disabled
+        )
+        use_stem = (
+            use_tail
+            and stem_supported(h)
+            and not self.cfg.quant_int8
+            and "stem" not in disabled
+        )
+        return use_stem, use_tail
+
     def _build(self):
         cfg = self.cfg
         M = self.boxes_per_image
@@ -80,37 +104,31 @@ class BatchedOCR:
 
         det_trunk = self.det_trunk
         det_stem, det_trunk_fs = self.det_stem, self.det_trunk_fs
+        plan_for = self._fused_kernel_plan
 
-        def program(det_vars, rec_vars, canvases, gray, inv_ratio):
-            # 1) detector forward on the whole batch.  On TPU two Pallas
+        def detector_scores(det_vars, canvases):
+            # detector forward on the whole batch.  On TPU two Pallas
             # kernels replace the MXU-starved extremes of the graph: the
             # full-res 64-channel conv1_2 (ops/pallas_stem.py) and the
             # channel-poor tail (upconv4 3x3 + cls head,
             # ops/pallas_tail.py); XLA keeps the well-shaped middle.
-            from lightly_ocr_tpu.ops.pallas_stem import (
-                fused_stem_conv,
-                stem_supported,
-            )
-            from lightly_ocr_tpu.ops.pallas_tail import (
-                fused_tail_scores,
-                fused_tail_supported,
-            )
+            from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv
+            from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores
 
-            h = canvases.shape[1]
-            h2 = h // 2
-            if jax.default_backend() == "tpu" and fused_tail_supported(h2):
-                if stem_supported(h) and not cfg.quant_int8:
+            use_stem, use_tail = plan_for(canvases.shape[1])
+            if use_tail:
+                if use_stem:
                     x0 = det_stem.apply(det_vars, canvases)
                     s1c = fused_stem_conv(det_vars, x0)
                     y192 = det_trunk_fs.apply(det_vars, s1c)
                 else:
                     y192 = det_trunk.apply(det_vars, canvases)
-                y = fused_tail_scores(det_vars, y192)
-            else:
-                y, _ = det_net.apply(det_vars, canvases)
-                y = y.astype(jnp.float32)
+                return fused_tail_scores(det_vars, y192)
+            y, _ = det_net.apply(det_vars, canvases)
+            return y.astype(jnp.float32)
 
-            # 2) on-device box extraction: on TPU the CC labeling runs
+        def postprocess(rec_vars, y, gray, inv_ratio):
+            # on-device box extraction: on TPU the CC labeling runs
             # batched as a Pallas kernel (grid = one VMEM-resident image
             # per step; vmapping the kernel would collapse the grid into
             # one oversized block), then the rest is vmapped with the
@@ -189,13 +207,17 @@ class BatchedOCR:
                 before = jnp.cumsum(eos, axis=1) == 0
                 conf = jnp.prod(jnp.where(before, max_probs, 1.0), axis=1)
                 conf = jnp.where(jnp.any(eos, axis=1), conf, 0.0)
-            B = canvases.shape[0]
+            B = y.shape[0]
             return {
                 "rects": rects,
                 "valid": valid,
                 "pred_idx": idx.reshape(B, M, -1),
                 "confidence": conf.reshape(B, M),
             }
+
+        def program(det_vars, rec_vars, canvases, gray, inv_ratio):
+            y = detector_scores(det_vars, canvases)
+            return postprocess(rec_vars, y, gray, inv_ratio)
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -217,6 +239,41 @@ class BatchedOCR:
                     check_vma=False,
                 )
             )
+
+        if jax.default_backend() == "tpu":
+            # Split the chain into separately-jitted dispatches on TPU:
+            # the monolithic program + Pallas kernels exceeds the remote
+            # compile service's budget (observed SIGKILL of the compile
+            # helper), and async dispatches pipeline identically under a
+            # depth>=2 serving loop.  Units: XLA stem prefix | Pallas
+            # conv1_2 | XLA trunk | Pallas tail | post (CC + boxes +
+            # crops + recognizer).
+            from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv
+            from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores
+
+            stem_fn = jax.jit(lambda v, x: det_stem.apply(v, x))
+            trunk_fs_fn = jax.jit(lambda v, x: det_trunk_fs.apply(v, x))
+            trunk_fn = jax.jit(lambda v, x: det_trunk.apply(v, x))
+            full_fn = jax.jit(
+                lambda v, x: det_net.apply(v, x)[0].astype(jnp.float32)
+            )
+            post_fn = jax.jit(postprocess)
+
+            def chained(det_vars, rec_vars, canvases, gray, inv_ratio):
+                use_stem, use_tail = plan_for(canvases.shape[1])
+                if use_tail:
+                    if use_stem:
+                        x0 = stem_fn(det_vars, canvases)
+                        s1c = fused_stem_conv(det_vars, x0)
+                        y192 = trunk_fs_fn(det_vars, s1c)
+                    else:
+                        y192 = trunk_fn(det_vars, canvases)
+                    y = fused_tail_scores(det_vars, y192)
+                else:
+                    y = full_fn(det_vars, canvases)
+                return post_fn(rec_vars, y, gray, inv_ratio)
+
+            return chained
         return jax.jit(program)
 
     def __call__(
