@@ -96,6 +96,27 @@ class BatchedOCR:
         )
         return use_stem, use_tail
 
+    @staticmethod
+    def _fused_impls():
+        """The stem/tail implementations: row-packed XLA convs by
+        default (``ops/rowpack.py``); ``LIGHTLY_OCR_FUSED_IMPL=pallas``
+        selects the Pallas kernels (``ops/pallas_{stem,tail}.py``),
+        which are faster per-op but exceed the remote compile service's
+        budget at production canvas sizes on this tunnel."""
+        import os
+
+        if os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip() == "pallas":
+            from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv
+            from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores
+
+            return fused_stem_conv, fused_tail_scores
+        from lightly_ocr_tpu.ops.rowpack import (
+            stem_conv_rowpacked,
+            tail_scores_rowpacked,
+        )
+
+        return stem_conv_rowpacked, tail_scores_rowpacked
+
     def _build(self):
         cfg = self.cfg
         M = self.boxes_per_image
@@ -106,24 +127,27 @@ class BatchedOCR:
         det_stem, det_trunk_fs = self.det_stem, self.det_trunk_fs
         plan_for = self._fused_kernel_plan
 
+        fused_impls = self._fused_impls
+
         def detector_scores(det_vars, canvases):
-            # detector forward on the whole batch.  On TPU two Pallas
-            # kernels replace the MXU-starved extremes of the graph: the
-            # full-res 64-channel conv1_2 (ops/pallas_stem.py) and the
-            # channel-poor tail (upconv4 3x3 + cls head,
-            # ops/pallas_tail.py); XLA keeps the well-shaped middle.
-            from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv
-            from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores
+            # detector forward on the whole batch.  On TPU two fused
+            # implementations replace the MXU-starved extremes of the
+            # graph: the full-res 64-channel conv1_2 and the channel-
+            # poor tail (upconv4 3x3 + cls head) — row-packed strided
+            # convs by default (ops/rowpack.py), Pallas kernels via
+            # LIGHTLY_OCR_FUSED_IMPL=pallas; XLA keeps the well-shaped
+            # middle either way.
+            stem_conv, tail_scores = fused_impls()
 
             use_stem, use_tail = plan_for(canvases.shape[1])
             if use_tail:
                 if use_stem:
                     x0 = det_stem.apply(det_vars, canvases)
-                    s1c = fused_stem_conv(det_vars, x0)
+                    s1c = stem_conv(det_vars, x0)
                     y192 = det_trunk_fs.apply(det_vars, s1c)
                 else:
                     y192 = det_trunk.apply(det_vars, canvases)
-                return fused_tail_scores(det_vars, y192)
+                return tail_scores(det_vars, y192)
             y, _ = det_net.apply(det_vars, canvases)
             return y.astype(jnp.float32)
 
@@ -242,35 +266,17 @@ class BatchedOCR:
 
         if jax.default_backend() == "tpu":
             # Split the chain into separately-jitted dispatches on TPU:
-            # the monolithic program + Pallas kernels exceeds the remote
-            # compile service's budget (observed SIGKILL of the compile
-            # helper), and async dispatches pipeline identically under a
-            # depth>=2 serving loop.  Units: XLA stem prefix | Pallas
-            # conv1_2 | XLA trunk | Pallas tail | post (CC + boxes +
-            # crops + recognizer).
-            from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv
-            from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores
-
-            stem_fn = jax.jit(lambda v, x: det_stem.apply(v, x))
-            trunk_fs_fn = jax.jit(lambda v, x: det_trunk_fs.apply(v, x))
-            trunk_fn = jax.jit(lambda v, x: det_trunk.apply(v, x))
-            full_fn = jax.jit(
-                lambda v, x: det_net.apply(v, x)[0].astype(jnp.float32)
-            )
+            # the monolithic program exceeded the remote compile
+            # service's budget (observed SIGKILL of the compile helper),
+            # and async dispatches pipeline identically under a
+            # depth>=2 serving loop.  Units: detector scores (stem
+            # prefix + fused conv1_2 + trunk + fused tail) | post (CC +
+            # boxes + crops + recognizer).
+            scores_fn = jax.jit(detector_scores)
             post_fn = jax.jit(postprocess)
 
             def chained(det_vars, rec_vars, canvases, gray, inv_ratio):
-                use_stem, use_tail = plan_for(canvases.shape[1])
-                if use_tail:
-                    if use_stem:
-                        x0 = stem_fn(det_vars, canvases)
-                        s1c = fused_stem_conv(det_vars, x0)
-                        y192 = trunk_fs_fn(det_vars, s1c)
-                    else:
-                        y192 = trunk_fn(det_vars, canvases)
-                    y = fused_tail_scores(det_vars, y192)
-                else:
-                    y = full_fn(det_vars, canvases)
+                y = scores_fn(det_vars, canvases)
                 return post_fn(rec_vars, y, gray, inv_ratio)
 
             return chained
