@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def pack_kernel(k: jax.Array, G: int) -> jax.Array:
@@ -85,6 +84,68 @@ def conv3x3_rowpacked(
     )  # [B, H/G, W, G*C]
     y = y.reshape(B, H // G, W, G, C)
     y = jnp.transpose(y, (0, 1, 3, 2, 4))  # [B, H/G, G, W, C]
+    return y.reshape(B, H, W, C)
+
+
+def pack_kernel_depth(k: jax.Array, G: int) -> jax.Array:
+    """[3, 3, Cin, C] -> [3, 3, G*Cin, G*C] for the depth-packed form.
+
+    With rows folded into channels (``x
+    [B, H/G, W, G*Cin]``), output row q_out of a group reads input row
+    q_in of groups t-1/t/t+1; the (u, q_in, q_out) block is the
+    original tap delta = G*(u-1) + q_in - q_out + 1 when 0 <= delta < 3,
+    else zero.
+    """
+    kh, kw, cin, cout = k.shape
+    if kh != 3:
+        raise ValueError("pack_kernel_depth expects 3-row kernels")
+    # traceable construction (k may be a tracer inside jit); the sets
+    # are static slices, so XLA folds this into one constant layout
+    kp = jnp.zeros((3, kw, G * cin, G * cout), k.dtype)
+    for u in range(3):
+        for qi in range(G):
+            for qo in range(G):
+                d = G * (u - 1) + qi - qo + 1
+                if 0 <= d < 3:
+                    kp = kp.at[
+                        u, :, qi * cin : (qi + 1) * cin,
+                        qo * cout : (qo + 1) * cout,
+                    ].set(k[d])
+    return kp
+
+
+def conv3x3_depthpacked(
+    x: jax.Array,
+    k: jax.Array,
+    G: int,
+    *,
+    preferred_dtype=jnp.float32,
+) -> jax.Array:
+    """SAME 3x3 NHWC conv via the depth-packed (rows-as-channels) form.
+
+    ``G`` x the MACs of the direct conv (every (q_in, q_out) block is a
+    window over the same taps), but K = G*Cin and N = G*Cout are both
+    MXU-dense and the conv is UNstrided — the friendliest possible
+    shape for XLA's TPU conv emitter.  Wins whenever the direct conv
+    runs below peak/G.
+    """
+    B, H, W, Cin = x.shape
+    C = k.shape[-1]
+    if H % G != 0:
+        raise ValueError(f"H={H} not divisible by packing G={G}")
+    xr = x.reshape(B, H // G, G, W, Cin)
+    xr = jnp.transpose(xr, (0, 1, 3, 2, 4)).reshape(B, H // G, W, G * Cin)
+    kp = pack_kernel_depth(k, G)
+    y = jax.lax.conv_general_dilated(
+        xr,
+        kp.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_dtype,
+    )  # [B, H/G, W, G*C]
+    y = y.reshape(B, H // G, W, G, C)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4))
     return y.reshape(B, H, W, C)
 
 

@@ -11,6 +11,7 @@ from lightly_ocr_tpu.models.vgg_unet import (
     VggStemPrefix,
 )
 from lightly_ocr_tpu.ops.rowpack import (
+    conv3x3_depthpacked,
     conv3x3_rowpacked,
     stem_conv_rowpacked,
     tail_scores_rowpacked,
@@ -31,6 +32,18 @@ def test_rowpacked_equals_direct(G, cin, cout):
     x = jnp.asarray(rng.standard_normal((2, 16, 12, cin)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1, jnp.float32)
     got = conv3x3_rowpacked(x, k, G)
+    ref = _direct(x, k)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("G,cin,cout", [(2, 64, 64), (4, 32, 32), (8, 16, 16)])
+def test_depthpacked_equals_direct(G, cin, cout):
+    rng = np.random.default_rng(G + 10)
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1, jnp.float32)
+    got = conv3x3_depthpacked(x, k, G)
     ref = _direct(x, k)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
