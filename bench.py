@@ -85,6 +85,9 @@ def main(argv=None) -> int:
                    help="canvas bucket granularity override (default: config)")
     p.add_argument("--full", action="store_true",
                    help="also run the 64-concurrent config-5 measurement")
+    p.add_argument("--stage-times", action="store_true",
+                   help="time the detector-scores and postprocess "
+                        "dispatch units separately (TPU split path)")
     args = p.parse_args(argv)
 
     import jax
@@ -161,6 +164,30 @@ def main(argv=None) -> int:
         f"({p50*1e3/args.batch:.2f} ms/receipt amortized)",
         file=sys.stderr, flush=True,
     )
+
+    if args.stage_times and hasattr(ocr, "_stage_fns"):
+        import jax as _jax
+
+        scores_fn, post_fn = ocr._stage_fns
+        dv, rv = ocr.det_variables, ocr.rec_variables
+        y = scores_fn(dv, canvases)
+        _jax.block_until_ready(y)
+        ts = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            _jax.block_until_ready(scores_fn(dv, canvases))
+            ts.append(time.perf_counter() - t0)
+        print(f"stage detector-scores: {np.median(ts)*1e3:.1f} ms wall",
+              file=sys.stderr, flush=True)
+        ts = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            _jax.block_until_ready(
+                post_fn(rv, y, gray, jnp.float32(inv_ratio))["confidence"]
+            )
+            ts.append(time.perf_counter() - t0)
+        print(f"stage postprocess: {np.median(ts)*1e3:.1f} ms wall",
+              file=sys.stderr, flush=True)
 
     if args.full:
         # BASELINE config 5: 64 receipts in flight through the batched

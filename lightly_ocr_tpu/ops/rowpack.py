@@ -197,7 +197,10 @@ def tail_scores_rowpacked(variables: dict, y192: jax.Array) -> jax.Array:
         return wt.reshape(3, 3, cin, wt.shape[-1])
 
     def g_for(cout):
-        g = min(max(1, 128 // cout), 8)
+        import os
+
+        force = os.environ.get("LIGHTLY_OCR_ROWPACK_G", "").strip()
+        g = int(force) if force else min(max(1, 128 // cout), 8)
         while g > 1 and H2 % g != 0:
             g //= 2
         return g

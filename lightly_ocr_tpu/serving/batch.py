@@ -73,9 +73,15 @@ class BatchedOCR:
         self._program = self._build()
 
     def _fused_kernel_plan(self, h: int) -> tuple[bool, bool]:
-        """(use_stem, use_tail) for canvas height ``h`` — TPU only, each
-        gated by shape support and the ``LIGHTLY_OCR_DISABLE_FUSED`` env
-        var (comma list of ``stem``/``tail`` for A/B measurements)."""
+        """(use_stem, use_tail) for canvas height ``h`` — TPU only.
+
+        The fused TAIL is on by default: the row-packed tail measured
+        +8.5% end-to-end (99.2 vs 91.4 receipts/s, canvas 960x640 b16).
+        The fused STEM (conv1_2) is off by default — the G=2 strided
+        form measured a net REGRESSION under XLA's conv lowering
+        (83.5 r/s with both on) — and is opted in via
+        ``LIGHTLY_OCR_ENABLE_FUSED=stem`` for experiments;
+        ``LIGHTLY_OCR_DISABLE_FUSED=tail`` disables the tail."""
         import os
 
         from lightly_ocr_tpu.ops.pallas_stem import stem_supported
@@ -83,6 +89,9 @@ class BatchedOCR:
 
         disabled = set(
             os.environ.get("LIGHTLY_OCR_DISABLE_FUSED", "").split(",")
+        )
+        enabled = set(
+            os.environ.get("LIGHTLY_OCR_ENABLE_FUSED", "").split(",")
         )
         on_tpu = jax.default_backend() == "tpu"
         use_tail = (
@@ -92,7 +101,7 @@ class BatchedOCR:
             use_tail
             and stem_supported(h)
             and not self.cfg.quant_int8
-            and "stem" not in disabled
+            and "stem" in enabled
         )
         return use_stem, use_tail
 
@@ -264,16 +273,25 @@ class BatchedOCR:
                 )
             )
 
-        if jax.default_backend() == "tpu":
+        import os
+
+        if (
+            jax.default_backend() == "tpu"
+            and os.environ.get("LIGHTLY_OCR_MONOLITH", "") != "1"
+        ):
             # Split the chain into separately-jitted dispatches on TPU:
-            # the monolithic program exceeded the remote compile
-            # service's budget (observed SIGKILL of the compile helper),
-            # and async dispatches pipeline identically under a
-            # depth>=2 serving loop.  Units: detector scores (stem
-            # prefix + fused conv1_2 + trunk + fused tail) | post (CC +
-            # boxes + crops + recognizer).
+            # the monolithic program + Pallas kernels exceeded the
+            # remote compile service's budget (observed SIGKILL of the
+            # compile helper).  Measured cost of the split on the axon
+            # tunnel: ~10% throughput (2 RPC submissions per batch);
+            # LIGHTLY_OCR_MONOLITH=1 restores the single program (works
+            # when the fused impls are XLA-expressible or disabled).
+            # Units: detector scores (stem prefix + fused conv1_2 +
+            # trunk + fused tail) | post (CC + boxes + crops +
+            # recognizer).
             scores_fn = jax.jit(detector_scores)
             post_fn = jax.jit(postprocess)
+            self._stage_fns = (scores_fn, post_fn)  # for bench --stage-times
 
             def chained(det_vars, rec_vars, canvases, gray, inv_ratio):
                 y = scores_fn(det_vars, canvases)
