@@ -79,8 +79,12 @@ def main(argv=None) -> int:
                    choices=["Attention", "CTC"])
     p.add_argument("--fp32", action="store_true",
                    help="disable bfloat16 compute")
-    p.add_argument("--int8", action="store_true",
-                   help="w8a8 dynamic int8 backbone convs (v5e int8 MXU)")
+    p.add_argument("--int8", dest="int8", action="store_true", default=True,
+                   help="w8a8 dynamic int8 backbone convs (v5e int8 MXU; "
+                        "the default serving mode — parity-gated by "
+                        "tests/test_quant.py)")
+    p.add_argument("--bf16", dest="int8", action="store_false",
+                   help="disable int8: bf16 backbone convs")
     p.add_argument("--granularity", type=int, default=None,
                    help="canvas bucket granularity override (default: config)")
     p.add_argument("--full", action="store_true",
@@ -89,6 +93,8 @@ def main(argv=None) -> int:
                    help="time the detector-scores and postprocess "
                         "dispatch units separately (TPU split path)")
     args = p.parse_args(argv)
+    if args.fp32:
+        args.int8 = False
 
     import jax
     import jax.numpy as jnp

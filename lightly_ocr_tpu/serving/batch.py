@@ -275,20 +275,21 @@ class BatchedOCR:
 
         import os
 
-        if (
-            jax.default_backend() == "tpu"
-            and os.environ.get("LIGHTLY_OCR_MONOLITH", "") != "1"
-        ):
-            # Split the chain into separately-jitted dispatches on TPU:
-            # the monolithic program + Pallas kernels exceeded the
-            # remote compile service's budget (observed SIGKILL of the
-            # compile helper).  Measured cost of the split on the axon
-            # tunnel: ~10% throughput (2 RPC submissions per batch);
-            # LIGHTLY_OCR_MONOLITH=1 restores the single program (works
-            # when the fused impls are XLA-expressible or disabled).
-            # Units: detector scores (stem prefix + fused conv1_2 +
-            # trunk + fused tail) | post (CC + boxes + crops +
-            # recognizer).
+        impl = os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip()
+        want_split = (
+            os.environ.get("LIGHTLY_OCR_MONOLITH", "") == "0"
+            or impl == "pallas"
+        )
+        if jax.default_backend() == "tpu" and want_split:
+            # Split the chain into separately-jitted dispatches — only
+            # needed for the Pallas impls, whose Mosaic compiles exceed
+            # the remote compile service's budget inside the monolith
+            # (observed SIGKILL of the compile helper), or for A/B via
+            # LIGHTLY_OCR_MONOLITH=0.  Measured cost of the split on
+            # the axon tunnel: ~10% throughput (2 RPC submissions per
+            # batch), so the default is the single program.  Units:
+            # detector scores (stem prefix + fused conv1_2 + trunk +
+            # fused tail) | post (CC + boxes + crops + recognizer).
             scores_fn = jax.jit(detector_scores)
             post_fn = jax.jit(postprocess)
             self._stage_fns = (scores_fn, post_fn)  # for bench --stage-times

@@ -106,6 +106,18 @@ def main():
     t_det = trace_stage(f"det fwd B{B} {H}x{W}", f_det, det_vars, canv,
                         flop=det_flop)
 
+    # serving variant: trunk + folded (BN-fused) tail
+    from lightly_ocr_tpu.models.vgg_unet import VGG_UNetTrunk
+    from lightly_ocr_tpu.ops.rowpack import tail_scores_rowpacked
+
+    trunk = VGG_UNetTrunk(dtype=dt)
+
+    def det_folded(v, x):
+        return tail_scores_rowpacked(v, trunk.apply(v, x))
+
+    trace_stage(f"det fwd folded tail B{B}", jax.jit(det_folded),
+                det_vars, canv, flop=det_flop)
+
     maps = f_det(det_vars, canv).astype(jnp.float32)
     tmap, lmap = maps[..., 0], maps[..., 1]
     fg = (tmap > cfg.low_text) | (lmap > cfg.link_threshold)
