@@ -75,27 +75,25 @@ class BatchedOCR:
     def _fused_kernel_plan(self, h: int) -> tuple[bool, bool]:
         """(use_stem, use_tail) for canvas height ``h`` — TPU only.
 
-        The fused TAIL is on by default: the row-packed tail measured
-        +8.5% end-to-end (99.2 vs 91.4 receipts/s, canvas 960x640 b16).
-        The fused STEM (conv1_2) is off by default — the G=2 strided
-        form measured a net REGRESSION under XLA's conv lowering
-        (83.5 r/s with both on) — and is opted in via
-        ``LIGHTLY_OCR_ENABLE_FUSED=stem`` for experiments;
-        ``LIGHTLY_OCR_DISABLE_FUSED=tail`` disables the tail."""
+        Both are OFF by default: jax.profiler device timings showed the
+        row-packed folded tail 29 ms SLOWER than the plain flax graph
+        at batch 16 (111.5 vs 82.8 ms — packing G rows into channels
+        shrinks the spatial extent onto XLA's small-spatial conv cliff),
+        and the G=2 strided conv1_2 regressed end-to-end (83.5 vs
+        101 receipts/s).  Opt in for experiments via
+        ``LIGHTLY_OCR_ENABLE_FUSED=stem,tail`` (combine with
+        ``LIGHTLY_OCR_FUSED_IMPL=pallas`` for the slab kernels)."""
         import os
 
         from lightly_ocr_tpu.ops.pallas_stem import stem_supported
         from lightly_ocr_tpu.ops.pallas_tail import fused_tail_supported
 
-        disabled = set(
-            os.environ.get("LIGHTLY_OCR_DISABLE_FUSED", "").split(",")
-        )
         enabled = set(
             os.environ.get("LIGHTLY_OCR_ENABLE_FUSED", "").split(",")
         )
         on_tpu = jax.default_backend() == "tpu"
         use_tail = (
-            on_tpu and fused_tail_supported(h // 2) and "tail" not in disabled
+            on_tpu and fused_tail_supported(h // 2) and "tail" in enabled
         )
         use_stem = (
             use_tail
