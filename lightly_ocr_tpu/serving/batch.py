@@ -363,16 +363,18 @@ class BatchedOCR:
         conf = np.asarray(out["confidence"])
         rects = np.asarray(out["rects"])
         B, M, T = idx.shape
-        chars = np.ascontiguousarray(self._chartab[idx])  # [B, M, T] '<U1'
-        full = chars.view(f"<U{T}")[..., 0]  # [B, M] full-length strings
         if self.cfg.prediction == "CTC":
             # collapse repeats then drop blanks: keep positions that are
-            # non-blank AND differ from the previous step's index
+            # non-blank AND differ from the previous step's index; the
+            # join below reuses this block-level char lookup
             prev = np.concatenate(
                 [np.full((B, M, 1), -1, idx.dtype), idx[..., :-1]], axis=-1
             )
             keep = (idx != 0) & (idx != prev)
+            chars = self._chartab[idx]  # [B, M, T] '<U1'
         else:
+            chars = np.ascontiguousarray(self._chartab[idx])
+            full = chars.view(f"<U{T}")[..., 0]  # [B, M] full strings
             eos = idx == self.converter.eos_index
             stop = np.where(eos.any(-1), eos.argmax(-1), T)
             # '[GO]' (index 0) is a multi-char token the '<U1' table
@@ -384,7 +386,7 @@ class BatchedOCR:
             items = []
             for m in np.nonzero(valid[b])[0]:
                 if self.cfg.prediction == "CTC":
-                    text = "".join(self._chartab[idx[b, m][keep[b, m]]])
+                    text = "".join(chars[b, m][keep[b, m]])
                 elif go_before_stop[b, m]:
                     text = self.converter.decode_trimmed(idx[b, m][None])[0]
                 else:
