@@ -61,7 +61,7 @@ def _conv3(src, wk, bias):
 
 
 def _tail_kernel(
-    rows, h2, w2,
+    rows, cols, h2, w2,
     xp_hbm,
     wa_ref, ba_ref, w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
     w6_ref, b6_ref, w8_ref, b8_ref,
@@ -70,8 +70,15 @@ def _tail_kernel(
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    j = pl.program_id(2)
     cp = pltpu.make_async_copy(
-        xp_hbm.at[b, pl.ds(i * rows, rows + 2 * HALO)], slab, sem
+        xp_hbm.at[
+            b,
+            pl.ds(i * rows, rows + 2 * HALO),
+            pl.ds(j * cols, cols + 2 * HALO),
+        ],
+        slab,
+        sem,
     )
     cp.start()
     cp.wait()
@@ -80,7 +87,9 @@ def _tail_kernel(
         """Zero positions outside the true image: stacked SAME convs pad
         each INTERMEDIATE with zeros, so virtual halo cells must read 0,
         not conv(0)=relu(bias).  After stage k the slab's (r, c) maps to
-        image (i*rows + r - off, c - off) with off = HALO - k."""
+        image (i*rows + r - off, j*cols + c - off) with off = HALO - k.
+        Also zeroes the right-padding columns past w2 (the col grid pads
+        W/2 up to a cols multiple)."""
         off = HALO - stage
         # 3D iotas: Mosaic cannot insert a minor dim on sub-32-bit types
         # (bf16 `ok[..., None]` fails to compile), so build the mask at
@@ -89,7 +98,10 @@ def _tail_kernel(
             jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
             + i * rows - off
         )
-        c_img = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) - off
+        c_img = (
+            jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            + j * cols - off
+        )
         ok = (r_img >= 0) & (r_img < h2) & (c_img >= 0) & (c_img < w2)
         return jnp.where(ok, t, jnp.zeros_like(t))
 
@@ -193,6 +205,13 @@ def fused_tail_scores(
     rows = _pick_rows(H2)
     if rows == 0:
         raise ValueError(f"fused tail: H/2={H2} not divisible by 4")
+    # Col-block the grid: Mosaic compile cost scales with the kernel
+    # BODY volume (slab width x unrolled stages), and full-width slabs
+    # at production canvases blow the remote compile service's budget.
+    # 128-col blocks keep the body ~10x smaller; W/2 is padded up to a
+    # cols multiple and the pad region is masked by rezero + sliced off.
+    cols = min(128, W2)
+    W2P = -(-W2 // cols) * cols
     (k1, b1, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8) = tail_params(
         variables
     )
@@ -208,25 +227,31 @@ def fused_tail_scores(
     # Pad channels 64 -> 128: the HBM buffer is lane-padded to 128
     # anyway, and an explicit full-width channel dim keeps the slab DMA
     # tile-aligned (Mosaic rejects a 64-wide slice of a 128-lane tile).
-    xp = jnp.pad(x, ((0, 0), (HALO, HALO), (HALO, HALO), (0, 64)))
+    xp = jnp.pad(
+        x,
+        ((0, 0), (HALO, HALO), (HALO, HALO + (W2P - W2)), (0, 64)),
+    )
 
-    kernel = functools.partial(_tail_kernel, rows, H2, W2)
+    kernel = functools.partial(_tail_kernel, rows, cols, H2, W2)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
-        grid=(B, H2 // rows),
+        grid=(B, H2 // rows, W2P // cols),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [wspec] * 12,
         out_specs=pl.BlockSpec(
-            (1, rows, W2, 2), lambda b, i: (b, i, 0, 0),
+            (1, rows, cols, 2), lambda b, i, j: (b, i, j, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H2, W2, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H2, W2P, 2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2 * HALO, W2 + 2 * HALO, 128), jnp.bfloat16),
+            pltpu.VMEM(
+                (rows + 2 * HALO, cols + 2 * HALO, 128), jnp.bfloat16
+            ),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8)
+    return y[:, :, :W2]
 
 
 def fused_tail_supported(h2: int) -> bool:
