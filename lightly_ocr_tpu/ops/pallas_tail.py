@@ -19,8 +19,18 @@ to one read + one (tiny) write.
 
 Parity: reference head semantics at ``ocr/model.py:34-46`` (upconv4 +
 conv_cls); numerics tested against the unfused flax modules in
-``tests/test_pallas_tail.py`` (interpret mode on CPU, device mode in the
-serving path tests).
+``tests/test_pallas_tail.py`` (interpret mode on CPU) and on hardware
+at small shapes (``scripts/check_pallas_tail_hw.py``).
+
+STATUS — opt-in (``LIGHTLY_OCR_ENABLE_FUSED=tail`` +
+``LIGHTLY_OCR_FUSED_IMPL=pallas``): correct and validated, but NOT the
+production default in this environment.  At production canvas sizes
+the Mosaic compile exceeds the remote compile service's budget even
+after col-blocking the grid to 128-wide slabs and raising the scoped
+VMEM limit (full-width: helper SIGKILL; col-blocked: >30 min without
+completing — ``scripts/check_tail_scale_hw.py`` is the gate).  On a
+standard local TPU toolchain the kernel should compile in seconds; the
+XLA path (plain flax graph) is used meanwhile.
 """
 from __future__ import annotations
 
@@ -124,7 +134,11 @@ def _tail_kernel(
         )
         + b8_ref[:]
     )
-    out_ref[0] = o.astype(out_ref.dtype)
+    # channels-SECOND output: a [rows, 2, cols] block keeps the lane
+    # dim 128-dense (cols); a [.., cols, 2] block lane-pads 2 -> 128
+    # and the staging of that 64x-padded buffer blows the 16 MB scoped
+    # VMEM limit at production shapes.
+    out_ref[0] = jnp.transpose(o, (0, 2, 1)).astype(out_ref.dtype)
 
 
 def _fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
@@ -239,19 +253,25 @@ def fused_tail_scores(
         grid=(B, H2 // rows, W2P // cols),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [wspec] * 12,
         out_specs=pl.BlockSpec(
-            (1, rows, cols, 2), lambda b, i, j: (b, i, j, 0),
+            (1, rows, 2, cols), lambda b, i, j: (b, i, 0, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H2, W2P, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H2, 2, W2P), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM(
                 (rows + 2 * HALO, cols + 2 * HALO, 128), jnp.bfloat16
             ),
             pltpu.SemaphoreType.DMA,
         ],
+        # the compiler's default 16 MB scoped-vmem budget rejects the
+        # kernel at production shapes (v5e has 128 MB VMEM; measured
+        # need ~40 MB of scoped stack)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(xp, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8)
-    return y[:, :, :W2]
+    return jnp.moveaxis(y, 2, 3)[:, :, :W2]
 
 
 def fused_tail_supported(h2: int) -> bool:

@@ -274,10 +274,11 @@ class BatchedOCR:
         import os
 
         impl = os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip()
-        want_split = (
-            os.environ.get("LIGHTLY_OCR_MONOLITH", "") == "0"
-            or impl == "pallas"
-        )
+        mono_env = os.environ.get("LIGHTLY_OCR_MONOLITH", "")
+        # pallas impls default to the split (their Mosaic compiles blew
+        # the monolith's compile budget pre-col-blocking); an explicit
+        # MONOLITH=1 overrides for experiments
+        want_split = mono_env == "0" or (impl == "pallas" and mono_env != "1")
         if jax.default_backend() == "tpu" and want_split:
             # Split the chain into separately-jitted dispatches — only
             # needed for the Pallas impls, whose Mosaic compiles exceed
