@@ -171,6 +171,12 @@ def main(argv=None) -> int:
         file=sys.stderr, flush=True,
     )
 
+    if args.stage_times and not hasattr(ocr, "_stage_fns"):
+        print(
+            "--stage-times needs the split dispatch path "
+            "(LIGHTLY_OCR_MONOLITH=0); skipping stage timings",
+            file=sys.stderr, flush=True,
+        )
     if args.stage_times and hasattr(ocr, "_stage_fns"):
         import jax as _jax
 

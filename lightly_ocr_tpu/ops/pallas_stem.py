@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lightly_ocr_tpu.ops.pallas_tail import _pick_rows, fold_bn
+
 
 def _stem_kernel(rows, w01_ref, w2_ref, b_ref, xcat_hbm, out_ref, slab_ref, sem):
     """One (batch, row-block) step: [rows+2, W+2, 128] slab -> ReLU'd
@@ -84,17 +86,12 @@ def _stem_kernel(rows, w01_ref, w2_ref, b_ref, xcat_hbm, out_ref, slab_ref, sem)
     out_ref[0] = jnp.maximum(acc + b_ref[:], 0.0).astype(out_ref.dtype)
 
 
-def _fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
-    s = scale / jnp.sqrt(var + eps)
-    return kernel * s, (bias - mean) * s + shift
-
-
 def stem_params(variables: dict) -> tuple:
     """(w01 [3,128,64], w2 [3,64,64], b [1,1,64]) — conv1_2 (torch idx
     3) with BN (idx 4) folded, laid out for the kernel's dots."""
     p = variables["params"]["basenet"]["slice1"]
     bs = variables["batch_stats"]["basenet"]["slice1"]
-    k, b = _fold_bn(
+    k, b = fold_bn(
         p["3"]["kernel"], p["3"]["bias"],
         p["4"]["scale"], p["4"]["bias"],
         bs["4"]["mean"], bs["4"]["var"],
@@ -107,13 +104,6 @@ def stem_params(variables: dict) -> tuple:
         w2.astype(jnp.bfloat16),
         jnp.asarray(b, jnp.float32).reshape(1, 1, -1),
     )
-
-
-def _pick_rows(h: int) -> int:
-    for r in (32, 16, 8, 4):
-        if h % r == 0:
-            return r
-    return 0
 
 
 def stem_supported(h: int) -> bool:

@@ -141,8 +141,11 @@ def _tail_kernel(
     out_ref[0] = jnp.transpose(o, (0, 2, 1)).astype(out_ref.dtype)
 
 
-def _fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
-    """conv(+bias) -> BN  ==  conv with folded kernel/bias."""
+def fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
+    """conv(+bias) -> BN  ==  conv with folded kernel/bias (inference).
+
+    Shared by the Pallas and rowpack serving paths — keep the single
+    copy here."""
     s = scale / jnp.sqrt(var + eps)
     return kernel * s, (bias - mean) * s + shift
 
@@ -173,7 +176,7 @@ def tail_params(variables: dict) -> tuple:
     pc, bc = p["upconv4"]["conv"], bs["upconv4"]["conv"]
 
     # 1x1 (192->64) + BN folded — applied in XLA (well-shaped matmul).
-    k1, b1 = _fold_bn(
+    k1, b1 = fold_bn(
         pc["0"]["kernel"][0, 0], pc["0"]["bias"],
         pc["1"]["scale"], pc["1"]["bias"],
         bc["1"]["mean"], bc["1"]["var"],
@@ -182,7 +185,7 @@ def tail_params(variables: dict) -> tuple:
     # channel dim is zero-padded 64 -> 128 to match the lane-padded
     # slab (TPU DMA slices must be tile-aligned on the lane dim) —
     # which also fills the MXU's 128-deep contraction for stage A.
-    ka, ba = _fold_bn(
+    ka, ba = fold_bn(
         pc["3"]["kernel"], pc["3"]["bias"],
         pc["4"]["scale"], pc["4"]["bias"],
         bc["4"]["mean"], bc["4"]["var"],

@@ -16,7 +16,7 @@ producing ``G`` consecutive output ROWS as ``G*C`` output CHANNELS:
 with a ``[G+2, 3, Cin, G*C]`` kernel at stride ``(G, 1)`` whose blocks
 are row-shifted copies of the original taps,
 
-    K[u, v, i, q*C + o] = k[u - q + 1, v, i, o]   (zero outside 0..2),
+    K[u, v, i, q*C + o] = k[u - q, v, i, o]   (zero outside 0 <= u-q < 3),
 
 followed by a reshape/interleave back to ``[B, H, W, C]``.  The packed
 conv runs (G+2)/(3*G) x the MACs (the shifted blocks are zero-padded)
@@ -149,18 +149,15 @@ def conv3x3_depthpacked(
     return y.reshape(B, H, W, C)
 
 
-def _fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
-    s = scale / jnp.sqrt(var + eps)
-    return kernel * s, (bias - mean) * s + shift
-
-
 def stem_conv_rowpacked(variables: dict, x0: jax.Array) -> jax.Array:
     """conv1_1 activation [B, H, W, 64] -> ReLU(BN(conv1_2(x))), with
     conv1_2 row-packed (G=2 -> 128 output lanes).  XLA counterpart of
     :func:`~lightly_ocr_tpu.ops.pallas_stem.fused_stem_conv`."""
+    from lightly_ocr_tpu.ops.pallas_tail import fold_bn
+
     p = variables["params"]["basenet"]["slice1"]
     bs = variables["batch_stats"]["basenet"]["slice1"]
-    k, b = _fold_bn(
+    k, b = fold_bn(
         p["3"]["kernel"], p["3"]["bias"],
         p["4"]["scale"], p["4"]["bias"],
         bs["4"]["mean"], bs["4"]["var"],

@@ -101,6 +101,14 @@ class BatchedOCR:
             and not self.cfg.quant_int8
             and "stem" in enabled
         )
+        if "stem" in enabled and not use_stem:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused stem requested but not active (requires the "
+                "fused tail enabled, a supported canvas height, and "
+                "quant_int8 off) — running without it"
+            )
         return use_stem, use_tail
 
     @staticmethod
@@ -275,10 +283,16 @@ class BatchedOCR:
 
         impl = os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip()
         mono_env = os.environ.get("LIGHTLY_OCR_MONOLITH", "")
+        fused_on = bool(
+            os.environ.get("LIGHTLY_OCR_ENABLE_FUSED", "").strip()
+        )
         # pallas impls default to the split (their Mosaic compiles blew
-        # the monolith's compile budget pre-col-blocking); an explicit
+        # the monolith's compile budget pre-col-blocking) — but only
+        # when a fused stage is actually enabled; an explicit
         # MONOLITH=1 overrides for experiments
-        want_split = mono_env == "0" or (impl == "pallas" and mono_env != "1")
+        want_split = mono_env == "0" or (
+            impl == "pallas" and fused_on and mono_env != "1"
+        )
         if jax.default_backend() == "tpu" and want_split:
             # Split the chain into separately-jitted dispatches — only
             # needed for the Pallas impls, whose Mosaic compiles exceed

@@ -11,7 +11,7 @@ run() {
   echo "--- $name stdout:"; cat /tmp/bench_sweep/$name.json
   echo "--- $name stderr tail:"; tail -3 /tmp/bench_sweep/$name.err
 }
-run tail_bf16
+run tail_bf16 --bf16
 run tail_int8 --int8
-run g32_bf16 --granularity 32
+run g32_bf16 --granularity 32 --bf16
 run g32_int8 --granularity 32 --int8
