@@ -93,6 +93,11 @@ def main():
     feats = trace_stage(f"ResNet features K{K}", f_res, v_res, crops)
     seq_in = f_res(v_res, crops)  # [K, T, C]
 
+    # int8 serving-mode variant (same variable tree)
+    res_q = ResNet50v2(cfg.output_channel, dtype=dt, quant=True)
+    f_res_q = jax.jit(lambda v, x: jnp.mean(res_q.apply(v, x, False), axis=1))
+    trace_stage(f"ResNet int8 K{K}", f_res_q, v_res, crops)
+
     seq = SeqModeling(cfg.hidden_size, dtype=dt)
     v_seq = seq.init(jax.random.key(3), seq_in[:1])
     f_seq = jax.jit(lambda v, x: seq.apply(v, x))
