@@ -13,10 +13,21 @@ Honest methodology:
 * reported throughput uses the TOTAL wall time of all timed dispatches
   (median-free), and per-dispatch latency is reported as p50.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 200 (the >=200 receipts/sec/chip BASELINE
-target).  ``--full`` adds secondary lines (p50 latency, 64-concurrent
-config-5 run) to stderr so the driver still sees a single stdout line.
+Prints its result as a JSON line {"metric", "value", "unit",
+"vs_baseline"} where vs_baseline is value / 200 (the >=200
+receipts/sec/chip BASELINE target).  A PROVISIONAL line (same schema,
+measured over the first dispatches) is printed and flushed as soon as
+the first timed window lands, then the final steady-state line follows
+— so a run cut short by an external timeout still leaves a parseable
+number on stdout.  The LAST stdout JSON line is the authoritative one.
+``--full`` adds secondary lines (p50 latency, 64-concurrent config-5
+run) to stderr.
+
+Cold-start cost: the serving program loads from the persistent AOT
+executable cache (``.aotcache/``, see ``utils/aotcache.py``) in
+seconds; only an unwarmed cache pays the tunnel's 10-40 min remote
+compile.  ``LIGHTLY_OCR_BENCH_BUDGET_S`` (default 3000) bounds total
+wall time: after warmup the timed window is sized to what fits.
 """
 from __future__ import annotations
 
@@ -31,6 +42,22 @@ import numpy as np
 
 # Amortize the tunnel's multi-minute XLA compiles across runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+_T_START = time.perf_counter()
+
+
+def _emit(metric: str, rps: float) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(rps, 3),
+                "unit": "receipts/s",
+                "vs_baseline": round(rps / 200.0, 4),
+            }
+        ),
+        flush=True,
+    )
 
 
 def _steady_state(ocr, canvases, gray, inv_ratio, batch, dispatches, depth):
@@ -139,32 +166,47 @@ def main(argv=None) -> int:
     gray = jnp.stack(grays)
     inv_ratio = 1.0 / plan.ratio
 
+    metric = (
+        "receipts/sec/chip steady-state incl. host decode "
+        f"(canvas {plan.canvas_h}x{plan.canvas_w}, "
+        f"{args.boxes} boxes/receipt, batch {args.batch}, "
+        f"depth {args.depth}, {args.prediction}, "
+        f"{'fp32' if args.fp32 else 'int8' if args.int8 else 'bf16'})"
+    )
+    budget = float(os.environ.get("LIGHTLY_OCR_BENCH_BUDGET_S", "3000"))
+
     # warmup / compile (2 dispatches so the pipelined path is warm too)
     for _ in range(2):
         out = ocr(canvases, gray, inv_ratio)
     jax.block_until_ready(out["confidence"])
     ocr.decode(out)
 
-    rps, p50, _ = _steady_state(
-        ocr, canvases, gray, inv_ratio, args.batch, args.dispatches,
+    # Provisional measurement over a short window: lands a parseable
+    # stdout number within seconds of warmup even if the run is later
+    # killed.  Also calibrates how many dispatches fit in the budget.
+    t0 = time.perf_counter()
+    rps0, _, _ = _steady_state(
+        ocr, canvases, gray, inv_ratio, args.batch, max(2, args.depth),
         args.depth,
     )
+    window = time.perf_counter() - t0
+    _emit(metric + " [provisional]", rps0)
+    per_dispatch = window / max(2, args.depth)
+    remaining = budget - (time.perf_counter() - _T_START) - 30.0
+    dispatches = args.dispatches
+    if per_dispatch * dispatches > remaining:
+        dispatches = max(2, int(remaining / per_dispatch))
+        print(
+            f"budget {budget:.0f}s: shrinking timed window to "
+            f"{dispatches} dispatches",
+            file=sys.stderr, flush=True,
+        )
 
-    print(
-        json.dumps(
-            {
-                "metric": "receipts/sec/chip steady-state incl. host decode "
-                f"(canvas {plan.canvas_h}x{plan.canvas_w}, "
-                f"{args.boxes} boxes/receipt, batch {args.batch}, "
-                f"depth {args.depth}, {args.prediction}, "
-                f"{'fp32' if args.fp32 else 'int8' if args.int8 else 'bf16'})",
-                "value": round(rps, 3),
-                "unit": "receipts/s",
-                "vs_baseline": round(rps / 200.0, 4),
-            }
-        ),
-        flush=True,
+    rps, p50, _ = _steady_state(
+        ocr, canvases, gray, inv_ratio, args.batch, dispatches,
+        args.depth,
     )
+    _emit(metric, rps)
     print(
         f"p50 dispatch latency: {p50*1e3:.1f} ms "
         f"({p50*1e3/args.batch:.2f} ms/receipt amortized)",

@@ -85,9 +85,12 @@ class QuantConv(nn.Module):
       kh/kw/cin / 127) — computed from the float32 master each dispatch;
       weights are tiny next to activations so this costs ~nothing and
       XLA keeps the requantize out of the hot loop's critical path;
-    * activations: symmetric per-tensor DYNAMIC int8 (scale = amax/127,
-      a single fused VPU reduction) — no offline calibration pass, which
-      keeps ``load()`` identical to the float engines;
+    * activations: symmetric PER-BATCH-ELEMENT dynamic int8 (scale =
+      amax over H/W/C per sample / 127, one fused VPU reduction) — no
+      offline calibration pass, which keeps ``load()`` identical to the
+      float engines.  Per-sample (not per-tensor) scales make each
+      image's quantization independent of its batchmates, so a given
+      request's OCR output does not depend on batch composition;
     * conv accumulates int32 on the MXU, then one fused epilogue
       dequantizes (sx*sw per channel) and adds the float bias.
 
@@ -147,7 +150,9 @@ class QuantConv(nn.Module):
         wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
 
         xf = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-12
+        ) / 127.0  # [B,1,1,1]: each sample quantizes independently
         xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
 
         dn = jax.lax.conv_dimension_numbers(

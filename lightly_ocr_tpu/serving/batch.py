@@ -71,6 +71,7 @@ class BatchedOCR:
         self._chartab = np.asarray(self.converter.character, dtype="<U1")
         self.mesh = mesh
         self._program = self._build()
+        self._compiled: dict = {}  # (shapes/dtypes) -> AOT executable
 
     def _fused_kernel_plan(self, h: int) -> tuple[bool, bool]:
         """(use_stem, use_tail) for canvas height ``h`` — TPU only.
@@ -101,6 +102,17 @@ class BatchedOCR:
             and not self.cfg.quant_int8
             and "stem" in enabled
         )
+        if "tail" in enabled and not use_tail:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused tail requested but not active (%s) — running "
+                "without it",
+                "backend is %r, not tpu" % jax.default_backend()
+                if not on_tpu
+                else "canvas height %d: H/2=%d unsupported by the "
+                     "tail kernel" % (h, h // 2),
+            )
         if "stem" in enabled and not use_stem:
             import logging
 
@@ -323,13 +335,43 @@ class BatchedOCR:
         """canvases [B,H,W,3] normalized; gray [B,H0,W0] ORIGINAL-
         resolution luma in [0,255]; inv_ratio = 1/plan.ratio (canvas ->
         original scale).  Output rects are original-image coords."""
-        return self._program(
+        args = (
             self.det_variables,
             self.rec_variables,
             canvases,
             gray,
             jnp.float32(inv_ratio),
         )
+        return self._resolve(canvases, gray)(*args)
+
+    def _resolve(self, canvases, gray):
+        """Executable for this input shape, via the persistent AOT
+        cache (utils/aotcache) when the program is a plain jit — the
+        tunnel's remote compiles are multi-minute and non-persistent,
+        so serving/bench cold starts load a serialized executable
+        instead of recompiling."""
+        if not hasattr(self._program, "lower"):
+            return self._program  # split dispatch path: plain chained fn
+        key = (
+            canvases.shape, str(canvases.dtype), gray.shape, str(gray.dtype)
+        )
+        fn = self._compiled.get(key)
+        if fn is None:
+            from lightly_ocr_tpu.utils.aotcache import cached_compile
+
+            fn = cached_compile(
+                self._program,
+                (
+                    self.det_variables,
+                    self.rec_variables,
+                    canvases,
+                    gray,
+                    jnp.float32(1.0),
+                ),
+                label="batched-ocr",
+            )
+            self._compiled[key] = fn
+        return fn
 
     def run_images(self, images: list) -> list[list[dict]]:
         """Host convenience: RGB uint8 images (same canvas bucket) ->

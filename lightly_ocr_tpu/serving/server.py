@@ -282,11 +282,16 @@ def main(argv=None) -> int:
     parser.add_argument("--batched", action="store_true",
                         help="route concurrent requests through the "
                              "single-program batched OCR path")
-    parser.add_argument("--int8", action="store_true",
+    parser.add_argument("--int8", dest="int8", action="store_true",
+                        default=True,
                         help="w8a8 int8 backbone convs — the measured "
                              "production serving mode on v5e (+~15% "
                              "throughput; parity-gated by "
-                             "tests/test_quant.py)")
+                             "tests/test_quant.py).  ON by default so "
+                             "the deployed mode matches the published "
+                             "bench numbers")
+    parser.add_argument("--bf16", dest="int8", action="store_false",
+                        help="disable int8: float backbone convs")
     opt = parser.parse_args(argv)
     cfg = None
     if opt.int8:

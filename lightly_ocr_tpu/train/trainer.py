@@ -59,6 +59,15 @@ DASHED = "-" * 80
 
 class Trainer:
     def __init__(self, cfg: Config, mesh=None):
+        if cfg.quant_int8:
+            # QuantConv's round() has zero gradient: training "works"
+            # but the backbone convs silently stop learning.  int8 is
+            # an inference-only serving mode; fail loudly here.
+            raise ValueError(
+                "Config.quant_int8=True is inference-only (QuantConv's "
+                "rounding blocks gradients) — train in float and flip "
+                "quant_int8 on at serving time"
+            )
         self.cfg = cfg
         self.mesh = mesh or make_mesh(cfg.mesh_data, cfg.mesh_model)
         self.converter = build_converter(cfg.prediction, cfg.character)
