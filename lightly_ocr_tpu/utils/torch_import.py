@@ -90,6 +90,44 @@ def import_torch_state_dict(
     return traverse_util.unflatten_dict(out)
 
 
+def audit_torch_import(
+    variables: Mapping[str, Any],
+    state_dict: Mapping[str, Any],
+) -> tuple[list[str], list[str]]:
+    """(missing, unconsumed) key audit for a template/state-dict pair.
+
+    ``missing``     — template leaves with no torch source (import would
+                      fall back to the init value);
+    ``unconsumed``  — torch keys no template leaf maps onto (real weights
+                      the import would silently drop).
+
+    Torch bookkeeping buffers that are *recomputed* on the flax side are
+    excluded from ``unconsumed``: BatchNorm ``num_batches_tracked`` and
+    the TPS GridGenerator's precomputed constants (``inv_delta_C``,
+    ``P_hat``, ``C``, ``P`` — trace-time numpy constants in models/tps.py).
+    Used by the full-key importer golden test to prove the mapping covers
+    the reference's REAL ``state_dict()`` trees (``ocr/net.py:24-34``).
+    """
+    state_dict = strip_module_prefix(state_dict)
+    flat = traverse_util.flatten_dict(variables)
+    consumed, missing = set(), []
+    for path, _ in flat.items():
+        _, *module_path, leaf = path
+        torch_leaf = _FLAX_TO_TORCH_LEAF.get(leaf, leaf)
+        torch_key = ".".join([*module_path, torch_leaf])
+        if torch_key in state_dict:
+            consumed.add(torch_key)
+        else:
+            missing.append(torch_key)
+    recomputed = ("num_batches_tracked", "inv_delta_C", "P_hat")
+    unconsumed = [
+        k
+        for k in state_dict
+        if k not in consumed and not k.endswith(recomputed)
+    ]
+    return missing, unconsumed
+
+
 def export_torch_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
     """Inverse mapping: flax variables -> torch-layout state dict (numpy).
 

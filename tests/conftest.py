@@ -12,6 +12,10 @@ also set explicitly because plugin registration can win over the env var.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep CPU test executables out of the committed .aotcache/ (it ships
+# TPU entries that pre-warm the driver's bench cold start).  Tests that
+# exercise the cache itself (test_aotcache.py) monkeypatch their own dir.
+os.environ.setdefault("LIGHTLY_OCR_AOT_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

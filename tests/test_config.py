@@ -63,3 +63,25 @@ def test_save_roundtrip(tmp_path):
 
 def test_num_steps():
     assert Config(batch_max_len=25).num_steps == 26
+
+
+def test_repo_config_yml_loads_as_defaults():
+    """The checked-in config.yml at the repo root is the reference
+    config plus documented TPU knobs; every value matches the dataclass
+    defaults so it is a faithful, always-in-sync config artifact."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "config.yml"
+    assert root.exists(), "repo-root config.yml must ship"
+    assert load_config(str(root)) == Config()
+
+
+def test_repo_config_yml_covers_all_fields():
+    """config.yml documents EVERY Config field (nothing undocumented)."""
+    import dataclasses
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "config.yml"
+    data = yaml.safe_load(root.read_text())
+    missing = {f.name for f in dataclasses.fields(Config)} - set(data)
+    assert not missing, f"config.yml is missing keys: {sorted(missing)}"
