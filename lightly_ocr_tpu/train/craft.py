@@ -260,8 +260,12 @@ def train_craft(
     log_every: int = 20,
     checkpoint_dir: str | None = None,
     log_fn: Callable[[str], None] = print,
+    records: str | None = None,
 ) -> tuple[VGG_UNet, CraftTrainState, list[float]]:
-    """Self-contained detector training on synthetic data.
+    """Detector training: synthetic data by default, or REAL word-box
+    data via ``records`` (a LOR1 detection record file — word rects +
+    transcripts are split into character gaussians by the
+    pseudo-labeling pipeline, ``train/pseudo_labels.py``).
 
     Pass a ``('data','model')`` mesh to shard the batch over devices
     (batch must divide by the data axis).
@@ -277,9 +281,18 @@ def train_craft(
             *shard_variables(tuple(state[:3]), mesh), state.step
         )
     step_fn = make_craft_train_step(model, lr)
+    data_iter = None
+    if records is not None:
+        from lightly_ocr_tpu.train.pseudo_labels import batches_from_records
+
+        data_iter = batches_from_records(records, batch, height, width, rng)
     losses: list[float] = []
     for i in range(num_steps):
-        data = synthesize_batch(rng, batch, height, width)
+        data = (
+            next(data_iter)
+            if data_iter is not None
+            else synthesize_batch(rng, batch, height, width)
+        )
         if mesh is not None:
             from lightly_ocr_tpu.parallel.mesh import shard_batch
 
@@ -318,6 +331,10 @@ def main(argv: Sequence[str] | None = None) -> int:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--records", default=None,
+                   help="LOR1 detection record file (word boxes + "
+                        "transcripts -> character pseudo-labels); "
+                        "default: synthetic data")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
     args = p.parse_args(argv)
@@ -336,6 +353,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         seed=args.seed,
         mesh=mesh,
         checkpoint_dir=args.checkpoint_dir,
+        records=args.records,
     )
     print(f"final loss {losses[-1]:.5f} (first {losses[0]:.5f})")
     return 0
