@@ -236,8 +236,13 @@ def main(argv=None) -> int:
         ts = []
         for _ in range(6):
             t0 = time.perf_counter()
+            inv_b = jnp.full((gray.shape[0],), inv_ratio, jnp.float32)
+            ext_b = jnp.tile(
+                jnp.asarray([[gray.shape[1], gray.shape[2]]], jnp.float32),
+                (gray.shape[0], 1),
+            )
             _jax.block_until_ready(
-                post_fn(rv, y, gray, jnp.float32(inv_ratio))["confidence"]
+                post_fn(rv, y, gray, inv_b, ext_b)["confidence"]
             )
             ts.append(time.perf_counter() - t0)
         print(f"stage postprocess: {np.median(ts)*1e3:.1f} ms wall",

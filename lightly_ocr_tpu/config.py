@@ -100,6 +100,11 @@ class Config:
     # compiles.  64 keeps the padding tax under ~10% for typical
     # receipts.
     bucket_granularity: int = 64
+    # Original-resolution gray bucket quantum: uploads are zero-padded
+    # up to a multiple of this before entering the serving program, so
+    # arbitrary upload sizes share a bounded set of compiled programs
+    # (true extents travel as data; box clipping stays exact).
+    gray_granularity: int = 256
     text_threshold: float = 0.7
     link_threshold: float = 0.4
     low_text: float = 0.4

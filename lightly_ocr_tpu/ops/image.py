@@ -128,6 +128,25 @@ def _ceil32(x: int) -> int:
     return int(math.ceil(x / 32) * 32)
 
 
+def pick_gray_bucket(
+    height: int, width: int, granularity: int = 256
+) -> tuple[int, int]:
+    """Quantize an ORIGINAL-resolution extent up to a coarse bucket.
+
+    The serving program takes the full-res gray image as an input (the
+    recognizer crops straight from it, like the reference crops from
+    the original — ``ocr/net.py:108-111``), so its [B, H0, W0] shape is
+    part of the compiled program.  Zero-padding every upload to a
+    granularity-multiple bucket bounds the number of compiled programs
+    under arbitrary-size traffic; true extents ride alongside as data
+    (``BatchedOCR.__call__(extents=...)``), so box clipping is exact.
+    """
+    return (
+        int(math.ceil(max(height, 1) / granularity) * granularity),
+        int(math.ceil(max(width, 1) / granularity) * granularity),
+    )
+
+
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """cv2.INTER_LINEAR-compatible resize (half-pixel centers, no
     antialiasing) for [H, W, C] or [B, H, W, C]."""
@@ -197,6 +216,7 @@ __all__ = [
     "ResizePlan",
     "plan_aspect_resize",
     "pick_canvas_bucket",
+    "pick_gray_bucket",
     "resize_bilinear",
     "make_detector_input",
     "resize_normalize",

@@ -178,7 +178,7 @@ class BatchedOCR:
             y, _ = det_net.apply(det_vars, canvases)
             return y.astype(jnp.float32)
 
-        def postprocess(rec_vars, y, gray, inv_ratio):
+        def postprocess(rec_vars, y, gray, inv_ratio, extents):
             # on-device box extraction: on TPU the CC labeling runs
             # batched as a Pallas kernel (grid = one VMEM-resident image
             # per step; vmapping the kernel would collapse the grid into
@@ -218,15 +218,18 @@ class BatchedOCR:
             boxes, valid = det.boxes, det.valid  # [B,M,4,2], [B,M]
 
             # 3) heatmap -> ORIGINAL-image coords (x2 net ratio, then
-            # 1/plan.ratio), truncated per corner exactly like the
-            # unbatched boxes_to_rects, then clipped to the image
-            scaled = jnp.trunc(boxes * (2.0 * inv_ratio))
+            # 1/plan.ratio — PER IMAGE: mixed-size batches carry one
+            # resize ratio each), truncated per corner exactly like the
+            # unbatched boxes_to_rects, then clipped to each image's
+            # TRUE extent (gray may be padded up to a shared bucket so
+            # distinct upload sizes reuse one compiled program)
+            scaled = jnp.trunc(boxes * (2.0 * inv_ratio[:, None, None, None]))
             c0 = jnp.min(scaled[..., 0], axis=2)
             r0 = jnp.min(scaled[..., 1], axis=2)
             c1 = jnp.max(scaled[..., 0], axis=2)
             r1 = jnp.max(scaled[..., 1], axis=2)
-            H0 = jnp.float32(gray.shape[1])
-            W0 = jnp.float32(gray.shape[2])
+            H0 = extents[:, 0][:, None]  # [B,1] true per-image height
+            W0 = extents[:, 1][:, None]
             r0 = jnp.clip(r0, 0.0, H0)
             r1 = jnp.clip(r1, 0.0, H0)
             c0 = jnp.clip(c0, 0.0, W0)
@@ -266,9 +269,9 @@ class BatchedOCR:
                 "confidence": conf.reshape(B, M),
             }
 
-        def program(det_vars, rec_vars, canvases, gray, inv_ratio):
+        def program(det_vars, rec_vars, canvases, gray, inv_ratio, extents):
             y = detector_scores(det_vars, canvases)
-            return postprocess(rec_vars, y, gray, inv_ratio)
+            return postprocess(rec_vars, y, gray, inv_ratio, extents)
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -285,7 +288,14 @@ class BatchedOCR:
                 jax.shard_map(
                     program,
                     mesh=self.mesh,
-                    in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                    in_specs=(
+                        P(),
+                        P(),
+                        P(DATA_AXIS),
+                        P(DATA_AXIS),
+                        P(DATA_AXIS),
+                        P(DATA_AXIS),
+                    ),
                     out_specs=out_specs,
                     check_vma=False,
                 )
@@ -319,9 +329,10 @@ class BatchedOCR:
             post_fn = jax.jit(postprocess)
             self._stage_fns = (scores_fn, post_fn)  # for bench --stage-times
 
-            def chained(det_vars, rec_vars, canvases, gray, inv_ratio):
+            def chained(det_vars, rec_vars, canvases, gray, inv_ratio,
+                        extents):
                 y = scores_fn(det_vars, canvases)
-                return post_fn(rec_vars, y, gray, inv_ratio)
+                return post_fn(rec_vars, y, gray, inv_ratio, extents)
 
             return chained
         return jax.jit(program)
@@ -330,21 +341,39 @@ class BatchedOCR:
         self,
         canvases: jax.Array,
         gray: jax.Array,
-        inv_ratio: float = 1.0,
+        inv_ratio=1.0,
+        extents=None,
     ) -> dict:
         """canvases [B,H,W,3] normalized; gray [B,H0,W0] ORIGINAL-
-        resolution luma in [0,255]; inv_ratio = 1/plan.ratio (canvas ->
-        original scale).  Output rects are original-image coords."""
+        resolution luma in [0,255] (may be zero-padded up to a shared
+        bucket); inv_ratio = 1/plan.ratio (canvas -> original scale),
+        scalar or per-image [B]; extents = true per-image (h0, w0)
+        [B,2] (defaults to gray's full extent).  Output rects are
+        original-image coords."""
+        B = canvases.shape[0]
+        inv_ratio = jnp.broadcast_to(
+            jnp.asarray(inv_ratio, jnp.float32).reshape(-1), (B,)
+        )
+        if extents is None:
+            extents = jnp.tile(
+                jnp.asarray(
+                    [[gray.shape[1], gray.shape[2]]], jnp.float32
+                ),
+                (B, 1),
+            )
+        else:
+            extents = jnp.asarray(extents, jnp.float32)
         args = (
             self.det_variables,
             self.rec_variables,
             canvases,
             gray,
-            jnp.float32(inv_ratio),
+            inv_ratio,
+            extents,
         )
-        return self._resolve(canvases, gray)(*args)
+        return self._resolve(canvases, gray, inv_ratio, extents)(*args)
 
-    def _resolve(self, canvases, gray):
+    def _resolve(self, canvases, gray, inv_ratio, extents):
         """Executable for this input shape, via the persistent AOT
         cache (utils/aotcache) when the program is a plain jit — the
         tunnel's remote compiles are multi-minute and non-persistent,
@@ -366,7 +395,8 @@ class BatchedOCR:
                     self.rec_variables,
                     canvases,
                     gray,
-                    jnp.float32(1.0),
+                    inv_ratio,
+                    extents,
                 ),
                 label="batched-ocr",
             )
@@ -374,37 +404,71 @@ class BatchedOCR:
         return fn
 
     def run_images(self, images: list) -> list[list[dict]]:
-        """Host convenience: RGB uint8 images (same canvas bucket) ->
-        per-image [{text, confidence, rect}] with rects mapped back to
-        original-image coordinates."""
+        """Host convenience: RGB uint8 images of ARBITRARY mixed sizes
+        -> per-image [{text, confidence, rect}] with rects mapped back
+        to original-image coordinates.
+
+        Images are grouped by (canvas bucket, gray bucket) — both
+        coarse quantizations — so real traffic with arbitrary upload
+        sizes compiles a bounded number of programs instead of one per
+        distinct resolution (the reference's per-size canvases,
+        ``imgproc.py``, would be a recompile storm under jit).  Within
+        a group each image keeps its own resize ratio and true extent;
+        those travel as program DATA, not shape."""
         import numpy as np
 
         from lightly_ocr_tpu.ops.image import (
             make_detector_input,
             pick_canvas_bucket,
+            pick_gray_bucket,
             plan_aspect_resize,
             rgb_to_gray,
         )
 
         cfg = self.cfg
-        h, w = images[0].shape[:2]
-        if any(img.shape[:2] != (h, w) for img in images):
-            raise ValueError("run_images expects same-sized images per batch")
-        bucket = pick_canvas_bucket(
-            h, w, cfg.canvas_size, cfg.magnify_ratio,
-            granularity=cfg.bucket_granularity,
-        )
-        plan = plan_aspect_resize(
-            h, w, cfg.canvas_size, cfg.magnify_ratio, canvas_bucket=bucket
-        )
-        canv, grays = [], []
-        for img in images:
-            c, _ = make_detector_input(jnp.asarray(img, jnp.float32), plan)
-            canv.append(c)
-            # full-resolution luma: recognizer crops never resample twice
-            grays.append(rgb_to_gray(jnp.asarray(img, jnp.float32)))
-        out = self(jnp.stack(canv), jnp.stack(grays), 1.0 / plan.ratio)
-        return self.decode(out)
+        groups: dict = {}
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            cb = pick_canvas_bucket(
+                h, w, cfg.canvas_size, cfg.magnify_ratio,
+                granularity=cfg.bucket_granularity,
+            )
+            gb = pick_gray_bucket(h, w, cfg.gray_granularity)
+            groups.setdefault((cb, gb), []).append(i)
+
+        results: list = [None] * len(images)
+        for (cb, gb), idxs in groups.items():
+            canv, grays, inv_ratios, extents = [], [], [], []
+            for i in idxs:
+                img = images[i]
+                h, w = img.shape[:2]
+                plan = plan_aspect_resize(
+                    h, w, cfg.canvas_size, cfg.magnify_ratio,
+                    canvas_bucket=cb,
+                )
+                c, _ = make_detector_input(
+                    jnp.asarray(img, jnp.float32), plan
+                )
+                canv.append(c)
+                # full-resolution luma, zero-padded to the gray bucket:
+                # recognizer crops never resample twice, and padding is
+                # outside every (clipped) rect
+                g = np.zeros(gb, np.float32)
+                g[:h, :w] = np.asarray(
+                    rgb_to_gray(jnp.asarray(img, jnp.float32))
+                )
+                grays.append(g)
+                inv_ratios.append(1.0 / plan.ratio)
+                extents.append((float(h), float(w)))
+            out = self(
+                jnp.stack(canv),
+                jnp.asarray(np.stack(grays)),
+                jnp.asarray(inv_ratios, jnp.float32),
+                jnp.asarray(extents, jnp.float32),
+            )
+            for i, items in zip(idxs, self.decode(out)):
+                results[i] = items
+        return results
 
     def decode(self, out: dict) -> list[list[dict]]:
         """Device outputs -> per-image [{text, confidence, rect}].

@@ -197,8 +197,9 @@ class BatchedServeModel:
     """serveModel-compatible wrapper over the single-program batched OCR
     path (BASELINE config 5: concurrent receipts -> one dispatch).
 
-    The InferenceWorker hands it a list of images; same-shaped groups go
-    through :class:`BatchedOCR` together.
+    The InferenceWorker hands it a list of images of arbitrary mixed
+    sizes; :class:`BatchedOCR` groups them by (canvas, gray) bucket so
+    a bounded set of compiled programs serves all traffic.
     """
 
     def __init__(self, config=None, thresh: float = 0.7,
@@ -220,18 +221,14 @@ class BatchedServeModel:
     def predict_many(self, images: list) -> list[list[str]]:
         import numpy as np
 
-        out: list = [None] * len(images)
-        groups: dict = {}
-        for i, img in enumerate(images):
-            groups.setdefault(np.asarray(img).shape, []).append(i)
-        for _, idxs in groups.items():
-            res = self.ocr.run_images([np.asarray(images[i]) for i in idxs])
-            for i, items in zip(idxs, res):
-                out[i] = [
-                    it["text"] for it in items
-                    if it["confidence"] > self.thresh
-                ]
-        return out
+        # BatchedOCR.run_images groups arbitrary mixed sizes by
+        # (canvas bucket, gray bucket) internally — one dispatch per
+        # bucket pair, bounded program count under real traffic.
+        res = self.ocr.run_images([np.asarray(img) for img in images])
+        return [
+            [it["text"] for it in items if it["confidence"] > self.thresh]
+            for items in res
+        ]
 
     def predict(self, image) -> list[str]:
         return self.predict_many([image])[0]

@@ -139,7 +139,7 @@ def _reference_rects(ref_det, img_bgr, refnet):
     return sorted(rects, key=cmp_to_key(ref_tools.compare_rects))
 
 
-def _run_case(tmp_path, rng, receipt_hw, canvas_size, case):
+def _run_case(tmp_path, rng, receipt_hw, canvas_size, case, int8=False):
     from reference_oracle import load_reference_engines
 
     refnet, refpipe, _ = load_reference_engines()
@@ -157,6 +157,15 @@ def _run_case(tmp_path, rng, receipt_hw, canvas_size, case):
 
     lt, tt, lk = _pick_thresholds(det0, image)
     cfg = cfg.replace(low_text=lt, text_threshold=tt, link_threshold=lk)
+    if int8:
+        # int8 golden case: OUR engines run the production w8a8 path
+        # against the float reference — the serving mode must stay
+        # within e2e tolerance of the reference, not just of our own
+        # float program (VERDICT r1 #6).  Box gates are slightly looser
+        # (quantization noise near thresholds); transcripts must agree
+        # on >=95% of words and confidences within 0.05.
+        cfg = cfg.replace(quant_int8=True)
+        rec = CRNN(cfg, variables=rec.variables)
     det = CRAFT(cfg, variables=det0.variables)
 
     ref_det, ref_rec = _seeded_reference_engines(tmp_path, det, rec, refnet)
@@ -182,8 +191,9 @@ def _run_case(tmp_path, rng, receipt_hw, canvas_size, case):
     ious = [
         _rect_iou(a, b) for a, b in zip(our_rects.astype(np.float64), ref_clip)
     ]
-    assert np.mean(ious) >= 0.99, f"[{case}] mean IoU {np.mean(ious):.4f}"
-    assert np.min(ious) >= 0.95, f"[{case}] min IoU {np.min(ious):.4f}"
+    mean_gate, min_gate = (0.97, 0.90) if int8 else (0.99, 0.95)
+    assert np.mean(ious) >= mean_gate, f"[{case}] mean IoU {np.mean(ious):.4f}"
+    assert np.min(ious) >= min_gate, f"[{case}] min IoU {np.min(ious):.4f}"
 
     # --- transcript parity through the whole recognition chain ---
     items = get_text_detailed(image, det, rec)
@@ -208,6 +218,16 @@ def _run_case(tmp_path, rng, receipt_hw, canvas_size, case):
             ref_texts.append(text)
             ref_confs.append(conf)
 
+    if int8:
+        agree = np.mean([o == r for o, r in zip(our_texts, ref_texts)])
+        assert agree >= 0.95, (
+            f"[{case}] int8 transcript agreement {agree:.2f} < 0.95"
+        )
+        np.testing.assert_allclose(
+            our_confs, ref_confs, atol=0.05,
+            err_msg=f"[{case}] int8 confidences diverge",
+        )
+        return
     assert our_texts == ref_texts, f"[{case}] transcripts diverge"
     np.testing.assert_allclose(
         our_confs, ref_confs, rtol=5e-3, atol=5e-4,
@@ -230,3 +250,12 @@ def test_e2e_golden_parity_oversized(tmp_path, rng):
     """plan.ratio < 1: receipt larger than the canvas cap, so content is
     downscaled (the reference's square_size clamp, imgproc.py:45-46)."""
     _run_case(tmp_path, rng, (520, 400), canvas_size=416, case="oversized")
+
+
+def test_e2e_golden_parity_int8(tmp_path, rng):
+    """The production w8a8 int8 serving path vs the FLOAT reference:
+    boxes within slightly-loosened IoU gates, >=95% transcript
+    agreement, confidences within 0.05 (VERDICT r1 #6)."""
+    _run_case(
+        tmp_path, rng, (360, 280), canvas_size=1280, case="int8", int8=True
+    )

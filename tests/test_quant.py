@@ -131,14 +131,32 @@ def test_batched_ocr_int8_box_parity():
     img[30:44, 20:90] = 10.0
     img[70:84, 40:120] = 10.0
 
-    cfg_q = Config(prediction="CTC", transform="None", max_boxes=8,
-                   canvas_size=256, magnify_ratio=1.0, quant_int8=True)
+    # random weights need quantile thresholds for components to fire —
+    # without this the parity loop below is vacuous
+    maps, ratio = det.score_maps(img)
+    h2 = int(img.shape[0] * ratio) // 2
+    w2 = int(img.shape[1] * ratio) // 2
+    region = np.asarray(maps[:h2, :w2, 0], np.float64)
+    link = np.asarray(maps[:h2, :w2, 1], np.float64)
+    cfg = cfg.replace(
+        low_text=float(np.quantile(region, 0.86)),
+        text_threshold=float(np.quantile(region, 0.93)),
+        link_threshold=float(np.quantile(link, 0.90)),
+    )
+
+    cfg_q = cfg.replace(quant_int8=True)
     a = BatchedOCR(cfg, det.variables, rec.variables, boxes_per_image=8,
                    dtype=jnp.float32)
     b = BatchedOCR(cfg_q, det.variables, rec.variables, boxes_per_image=8,
                    dtype=jnp.float32)
     ra = a.run_images([img])
     rb = b.run_images([img])
+    assert ra[0], "no boxes fired — the parity assertions are vacuous"
     assert len(ra[0]) == len(rb[0])
     for ia, ib in zip(ra[0], rb[0]):
         assert np.allclose(ia["rect"], ib["rect"], atol=4.0)
+        # The e2e int8 gate is TRANSCRIPT equality, not just box
+        # closeness: quantization noise must not flip a single decoded
+        # character on structured receipts (VERDICT r1 #6).
+        assert ia["text"] == ib["text"], (ia["text"], ib["text"])
+        assert abs(ia["confidence"] - ib["confidence"]) < 0.05
