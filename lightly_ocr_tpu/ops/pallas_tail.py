@@ -157,7 +157,16 @@ def _wtap(kernel):
 
 
 def _pick_rows(h2: int) -> int:
-    for r in (32, 16, 8, 4):
+    import os
+
+    env = os.environ.get("LIGHTLY_OCR_TAIL_ROWS", "").strip()
+    if env:
+        r = int(env)
+        return r if h2 % r == 0 else 0
+    # Mosaic compile cost scales with the unrolled BODY volume (slab
+    # rows x cols x stages): 8 rows compiles ~4x faster than 32 and the
+    # extra grid steps are nearly free (the DMA pipeline hides them).
+    for r in (8, 16, 32, 4):
         if h2 % r == 0:
             return r
     return 0
@@ -227,7 +236,10 @@ def fused_tail_scores(
     # at production canvases blow the remote compile service's budget.
     # 128-col blocks keep the body ~10x smaller; W/2 is padded up to a
     # cols multiple and the pad region is masked by rezero + sliced off.
-    cols = min(128, W2)
+    import os
+
+    cols = int(os.environ.get("LIGHTLY_OCR_TAIL_COLS", "128"))
+    cols = min(cols, W2)
     W2P = -(-W2 // cols) * cols
     (k1, b1, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8) = tail_params(
         variables

@@ -141,6 +141,7 @@ class TestGetDetBoxes:
         out = get_det_boxes(z, z, max_boxes=16)
         assert not bool(out.valid.any())
 
+    @pytest.mark.slow
     def test_small_component_filtered(self):
         t = np.zeros((40, 40), np.float32)
         t[5:7, 5:8] = 0.9  # area 6 < 10

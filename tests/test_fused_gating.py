@@ -2,20 +2,19 @@
 
 Locks the measured-default behavior: plain flax graph, monolithic
 program, with every experimental path opt-in (BENCH.md round 3)."""
-import jax.numpy as jnp
 import pytest
 
 from lightly_ocr_tpu.config import Config
-from lightly_ocr_tpu.engines import CRAFT, CRNN
 from lightly_ocr_tpu.serving.batch import BatchedOCR
 
 
 @pytest.fixture(scope="module")
 def ocr():
-    cfg = Config(prediction="CTC", transform="None", max_boxes=2)
-    det = CRAFT(cfg, dtype=jnp.float32)
-    rec = CRNN(cfg, dtype=jnp.float32)
-    return BatchedOCR(cfg, det.variables, rec.variables, boxes_per_image=2)
+    # _fused_kernel_plan reads only self.cfg — skip the ~40 s engine
+    # init the full constructor would pay (this is a pure gating test)
+    o = BatchedOCR.__new__(BatchedOCR)
+    o.cfg = Config(prediction="CTC", transform="None", max_boxes=2)
+    return o
 
 
 def test_default_plan_disables_fused_stages(ocr, monkeypatch):

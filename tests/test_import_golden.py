@@ -66,6 +66,7 @@ def test_craft_full_key_import(rng):
 
 
 @pytest.mark.parametrize("prediction", ["CTC", "Attention"])
+@pytest.mark.slow
 def test_crnn_full_key_import(rng, prediction):
     ref_model_mod, _ = load_reference()
     t_model = ref_model_mod.CRNNet(

@@ -128,6 +128,7 @@ def test_labels_converged_detects_fixed_point():
 
 
 @pytest.mark.parametrize("maker", [_comb, _staircase])
+@pytest.mark.slow
 def test_adversarial_escalation_small(maker):
     """Snaking masks defeat the 2-round bound; the checked wrapper must
     detect it and escalate to the converged partition."""

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lightly_ocr_tpu.models.vgg_unet import (
     VGG_UNet,
@@ -11,6 +12,7 @@ from lightly_ocr_tpu.models.vgg_unet import (
 from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv, stem_supported
 
 
+@pytest.mark.slow
 def test_fused_stem_composition_matches_trunk():
     """prefix -> Pallas conv1_2 -> from_stem trunk == the plain trunk
     (whole-composition check incl. the split modules' param scopes)."""
@@ -35,6 +37,7 @@ def test_fused_stem_composition_matches_trunk():
     assert np.mean(np.abs(got - ref)) < 2e-3
 
 
+@pytest.mark.slow
 def test_fused_stem_conv_row_blocks():
     """The overlapping-slab DMA path: H=64 -> rows=32 gives two blocks
     per image; values at the block seam must match a direct conv."""

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lightly_ocr_tpu.models.vgg_unet import VGG_UNet, VGG_UNetTrunk
 from lightly_ocr_tpu.ops.pallas_tail import (
@@ -10,6 +11,7 @@ from lightly_ocr_tpu.ops.pallas_tail import (
 )
 
 
+@pytest.mark.slow
 def test_fused_tail_matches_unfused_bf16():
     """trunk + fused tail == full bf16 VGG_UNet within bf16 tolerance."""
     rng = np.random.default_rng(0)
@@ -32,6 +34,7 @@ def test_fused_tail_matches_unfused_bf16():
     assert np.max(np.abs(got - ref)) < 5e-3
 
 
+@pytest.mark.slow
 def test_fused_tail_row_split_edges():
     """Slab halo handling: values at block boundaries match a single-
     block run (H/2 = 32 -> one 32-row block vs four 8-row blocks give

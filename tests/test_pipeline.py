@@ -153,6 +153,7 @@ class TestEngines:
 
 
 class TestPipeline:
+    @pytest.mark.slow
     def test_get_text(self, engines, rng):
         detector, recognizer = engines
         res = getText(_receipt(rng), detector, recognizer)

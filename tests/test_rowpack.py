@@ -85,6 +85,7 @@ def test_stem_rowpacked_matches_flax_slice():
     assert np.max(np.abs(np.asarray(got, np.float32) - ref)) < 3e-2
 
 
+@pytest.mark.slow
 def test_tail_rowpacked_matches_unfused():
     """trunk + rowpacked tail == full bf16 VGG_UNet scores."""
     rng = np.random.default_rng(2)
@@ -97,6 +98,7 @@ def test_tail_rowpacked_matches_unfused():
     assert np.max(np.abs(np.asarray(got) - np.asarray(y_ref, np.float32))) < 5e-3
 
 
+@pytest.mark.slow
 def test_full_rowpacked_composition():
     """stem prefix -> rowpacked conv1_2 -> from_stem trunk -> rowpacked
     tail == the plain full detector (the exact serving composition)."""
