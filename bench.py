@@ -13,13 +13,13 @@ Honest methodology:
 * reported throughput uses the TOTAL wall time of all timed dispatches
   (median-free), and per-dispatch latency is reported as p50.
 
-Prints its result as a JSON line {"metric", "value", "unit",
+Prints EXACTLY ONE JSON line on stdout: {"metric", "value", "unit",
 "vs_baseline"} where vs_baseline is value / 200 (the >=200
-receipts/sec/chip BASELINE target).  A PROVISIONAL line (same schema,
-measured over the first dispatches) is printed and flushed as soon as
-the first timed window lands, then the final steady-state line follows
-— so a run cut short by an external timeout still leaves a parseable
-number on stdout.  The LAST stdout JSON line is the authoritative one.
+receipts/sec/chip BASELINE target).  A PROVISIONAL measurement over
+the first dispatches goes to stderr as soon as the first timed window
+lands; if the run is killed (SIGTERM/timeout) before the final
+steady-state line, an exit handler promotes the provisional line to
+stdout — so a truncated run still leaves exactly one parseable number.
 ``--full`` adds secondary lines (p50 latency, 64-concurrent config-5
 run) to stderr.
 
@@ -45,19 +45,48 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 _T_START = time.perf_counter()
 
+# stdout carries EXACTLY ONE JSON line per run (the driver contract).
+# The provisional early measurement goes to stderr; it is promoted to
+# stdout only by the exit fallback below, when the run is killed before
+# the final line lands.
+_FALLBACK = {"line": None, "done": False}
+
+
+def _json_line(metric: str, rps: float) -> str:
+    return json.dumps(
+        {
+            "metric": metric,
+            "value": round(rps, 3),
+            "unit": "receipts/s",
+            "vs_baseline": round(rps / 200.0, 4),
+        }
+    )
+
 
 def _emit(metric: str, rps: float) -> None:
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(rps, 3),
-                "unit": "receipts/s",
-                "vs_baseline": round(rps / 200.0, 4),
-            }
-        ),
-        flush=True,
-    )
+    print(_json_line(metric, rps), flush=True)
+    _FALLBACK["done"] = True
+
+
+def _emit_provisional(metric: str, rps: float) -> None:
+    line = _json_line(metric + " [provisional]", rps)
+    print(line, file=sys.stderr, flush=True)
+    _FALLBACK["line"] = line
+
+
+def _flush_fallback(*_args) -> None:
+    if not _FALLBACK["done"] and _FALLBACK["line"]:
+        print(_FALLBACK["line"], flush=True)
+        _FALLBACK["done"] = True
+    if _args:  # invoked as a signal handler (timeout sends SIGTERM)
+        raise SystemExit(124)
+
+
+import atexit
+import signal
+
+atexit.register(_flush_fallback)
+signal.signal(signal.SIGTERM, _flush_fallback)
 
 
 def _steady_state(ocr, canvases, gray, inv_ratio, batch, dispatches, depth):
@@ -190,7 +219,7 @@ def main(argv=None) -> int:
         args.depth,
     )
     window = time.perf_counter() - t0
-    _emit(metric + " [provisional]", rps0)
+    _emit_provisional(metric, rps0)
     per_dispatch = window / max(2, args.depth)
     remaining = budget - (time.perf_counter() - _T_START) - 30.0
     dispatches = args.dispatches
@@ -233,14 +262,15 @@ def main(argv=None) -> int:
             ts.append(time.perf_counter() - t0)
         print(f"stage detector-scores: {np.median(ts)*1e3:.1f} ms wall",
               file=sys.stderr, flush=True)
+        inv_b = jnp.full((gray.shape[0],), inv_ratio, jnp.float32)
+        ext_b = jnp.tile(
+            jnp.asarray([[gray.shape[1], gray.shape[2]]], jnp.float32),
+            (gray.shape[0], 1),
+        )
+        _jax.block_until_ready(inv_b)
         ts = []
         for _ in range(6):
             t0 = time.perf_counter()
-            inv_b = jnp.full((gray.shape[0],), inv_ratio, jnp.float32)
-            ext_b = jnp.tile(
-                jnp.asarray([[gray.shape[1], gray.shape[2]]], jnp.float32),
-                (gray.shape[0], 1),
-            )
             _jax.block_until_ready(
                 post_fn(rv, y, gray, inv_b, ext_b)["confidence"]
             )

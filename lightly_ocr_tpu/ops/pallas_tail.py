@@ -156,12 +156,31 @@ def _wtap(kernel):
     return k.reshape(3, -1, k.shape[-1]).astype(jnp.bfloat16)
 
 
-def _pick_rows(h2: int) -> int:
+def _env_int(name: str, default: int | None = None) -> int | None:
+    """Parse an int env knob; malformed/non-positive values fall back
+    with a warning instead of taking down program construction (these
+    are read inside BatchedOCR._build even when the tail is off)."""
+    import logging
     import os
 
-    env = os.environ.get("LIGHTLY_OCR_TAIL_ROWS", "").strip()
-    if env:
-        r = int(env)
+    env = os.environ.get(name, "").strip()
+    if not env:
+        return default
+    try:
+        v = int(env)
+        if v <= 0:
+            raise ValueError("must be positive")
+        return v
+    except ValueError as e:
+        logging.getLogger(__name__).warning(
+            "%s=%r invalid (%s) — using default", name, env, e
+        )
+        return default
+
+
+def _pick_rows(h2: int) -> int:
+    r = _env_int("LIGHTLY_OCR_TAIL_ROWS")
+    if r is not None:
         return r if h2 % r == 0 else 0
     # Mosaic compile cost scales with the unrolled BODY volume (slab
     # rows x cols x stages): 8 rows compiles ~4x faster than 32 and the
@@ -236,10 +255,7 @@ def fused_tail_scores(
     # at production canvases blow the remote compile service's budget.
     # 128-col blocks keep the body ~10x smaller; W/2 is padded up to a
     # cols multiple and the pad region is masked by rezero + sliced off.
-    import os
-
-    cols = int(os.environ.get("LIGHTLY_OCR_TAIL_COLS", "128"))
-    cols = min(cols, W2)
+    cols = min(_env_int("LIGHTLY_OCR_TAIL_COLS", 128), W2)
     W2P = -(-W2 // cols) * cols
     (k1, b1, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8) = tail_params(
         variables

@@ -409,9 +409,10 @@ class BatchedOCR:
         to original-image coordinates.
 
         Images are grouped by (canvas bucket, gray bucket) — both
-        coarse quantizations — so real traffic with arbitrary upload
-        sizes compiles a bounded number of programs instead of one per
-        distinct resolution (the reference's per-size canvases,
+        coarse quantizations — and each group is padded up to a
+        power-of-two BATCH bucket, so real traffic with arbitrary
+        upload sizes and arbitrary request counts compiles a bounded
+        number of programs (the reference's per-size canvases,
         ``imgproc.py``, would be a recompile storm under jit).  Within
         a group each image keeps its own resize ratio and true extent;
         those travel as program DATA, not shape."""
@@ -422,10 +423,10 @@ class BatchedOCR:
             pick_canvas_bucket,
             pick_gray_bucket,
             plan_aspect_resize,
-            rgb_to_gray,
         )
 
         cfg = self.cfg
+        luma = np.asarray([0.299, 0.587, 0.114], np.float32)
         groups: dict = {}
         for i, img in enumerate(images):
             h, w = img.shape[:2]
@@ -438,33 +439,38 @@ class BatchedOCR:
 
         results: list = [None] * len(images)
         for (cb, gb), idxs in groups.items():
-            canv, grays, inv_ratios, extents = [], [], [], []
-            for i in idxs:
-                img = images[i]
+            # pad the group to a power-of-two batch so the BATCH dim is
+            # bucketed too — otherwise every distinct request count
+            # compiles (and AOT-caches) its own multi-minute program
+            B = 1 << (len(idxs) - 1).bit_length()
+            canv = []  # device-resident: resize runs on device, no pull
+            grays = np.zeros((B, *gb), np.float32)
+            inv_ratios = np.ones((B,), np.float32)
+            extents = np.ones((B, 2), np.float32)  # 1x1: pad rows inert
+            for j, i in enumerate(idxs):
+                img = np.asarray(images[i], np.float32)
                 h, w = img.shape[:2]
                 plan = plan_aspect_resize(
                     h, w, cfg.canvas_size, cfg.magnify_ratio,
                     canvas_bucket=cb,
                 )
-                c, _ = make_detector_input(
-                    jnp.asarray(img, jnp.float32), plan
-                )
+                c, _ = make_detector_input(jnp.asarray(img), plan)
                 canv.append(c)
-                # full-resolution luma, zero-padded to the gray bucket:
-                # recognizer crops never resample twice, and padding is
-                # outside every (clipped) rect
-                g = np.zeros(gb, np.float32)
-                g[:h, :w] = np.asarray(
-                    rgb_to_gray(jnp.asarray(img, jnp.float32))
-                )
-                grays.append(g)
-                inv_ratios.append(1.0 / plan.ratio)
-                extents.append((float(h), float(w)))
+                # full-resolution luma (host: the device round-trip
+                # would cost two tunnel transfers per image), zero-
+                # padded to the gray bucket — padding is outside every
+                # (clipped) rect
+                grays[j, :h, :w] = img @ luma
+                inv_ratios[j] = 1.0 / plan.ratio
+                extents[j] = (float(h), float(w))
+            canv.extend(
+                [jnp.zeros((*cb, 3), jnp.float32)] * (B - len(idxs))
+            )
             out = self(
                 jnp.stack(canv),
-                jnp.asarray(np.stack(grays)),
-                jnp.asarray(inv_ratios, jnp.float32),
-                jnp.asarray(extents, jnp.float32),
+                jnp.asarray(grays),
+                jnp.asarray(inv_ratios),
+                jnp.asarray(extents),
             )
             for i, items in zip(idxs, self.decode(out)):
                 results[i] = items
@@ -479,10 +485,15 @@ class BatchedOCR:
         or one small fancy-index + join (CTC).  Equivalent to running the
         converter per box (tested), ~10x less host time per dispatch.
         """
-        valid = np.asarray(out["valid"])
-        idx = np.asarray(out["pred_idx"])
-        conf = np.asarray(out["confidence"])
-        rects = np.asarray(out["rects"])
+        # one batched device->host pull (4 separate np.asarray calls
+        # would each pay a tunnel round-trip on remote backends)
+        host = jax.device_get(
+            {k: out[k] for k in ("valid", "pred_idx", "confidence", "rects")}
+        )
+        valid = np.asarray(host["valid"])
+        idx = np.asarray(host["pred_idx"])
+        conf = np.asarray(host["confidence"])
+        rects = np.asarray(host["rects"])
         B, M, T = idx.shape
         if self.cfg.prediction == "CTC":
             # collapse repeats then drop blanks: keep positions that are

@@ -280,23 +280,27 @@ def main(argv=None) -> int:
                         help="route concurrent requests through the "
                              "single-program batched OCR path")
     parser.add_argument("--int8", dest="int8", action="store_true",
-                        default=True,
+                        default=None,
                         help="w8a8 int8 backbone convs — the measured "
                              "production serving mode on v5e (+~15% "
                              "throughput; parity-gated by "
                              "tests/test_quant.py).  ON by default so "
                              "the deployed mode matches the published "
-                             "bench numbers")
+                             "bench numbers; a --config file's "
+                             "quant_int8 key wins unless a flag is "
+                             "typed explicitly")
     parser.add_argument("--bf16", dest="int8", action="store_false",
                         help="disable int8: float backbone convs")
     opt = parser.parse_args(argv)
-    cfg = None
-    if opt.int8:
-        from dataclasses import replace
+    from dataclasses import replace
 
-        from lightly_ocr_tpu.config import load_config
+    from lightly_ocr_tpu.config import load_config
 
-        cfg = replace(load_config(opt.config), quant_int8=True)
+    cfg = load_config(opt.config)
+    if opt.int8 is not None:
+        cfg = replace(cfg, quant_int8=opt.int8)  # explicit flag wins
+    elif opt.config is None:
+        cfg = replace(cfg, quant_int8=True)  # no config: int8 default
     run_server(opt.host, opt.port, opt.config, opt.thresh, config=cfg,
                batched=opt.batched)
     return 0

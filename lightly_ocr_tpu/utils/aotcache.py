@@ -69,6 +69,32 @@ def program_key(lowered: Any) -> str:
     return h.hexdigest()[:24]
 
 
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Unpickler allowing only the jax/numpy/stdlib-container types a
+    serialized executable's (payload, in_tree, out_tree) triple can
+    legitimately contain.  The cache directory is committed to the
+    repo, so a tampered ``.jexe`` must not be able to smuggle an
+    arbitrary-code-execution gadget (``os.system`` etc.) through the
+    pickle layer — unknown globals raise instead of importing.
+    """
+
+    _SAFE_BUILTINS = {
+        "tuple", "list", "dict", "set", "frozenset", "bytes", "str",
+        "int", "float", "bool", "complex", "slice", "getattr",
+    }
+
+    def find_class(self, module: str, name: str):
+        if module.startswith(("jax", "jaxlib", "numpy")):
+            return super().find_class(module, name)
+        if module == "builtins" and name in self._SAFE_BUILTINS:
+            return super().find_class(module, name)
+        if module in ("collections", "functools", "types"):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"aotcache: refusing to unpickle {module}.{name}"
+        )
+
+
 def _load(path: Path) -> Callable | None:
     from jax.experimental import serialize_executable as se
 
@@ -76,9 +102,11 @@ def _load(path: Path) -> Callable | None:
         raw = path.read_bytes()
         if not raw.startswith(_MAGIC):
             return None
-        payload, in_tree, out_tree = pickle.loads(
-            zlib.decompress(raw[len(_MAGIC):])
-        )
+        import io
+
+        payload, in_tree, out_tree = _RestrictedUnpickler(
+            io.BytesIO(zlib.decompress(raw[len(_MAGIC):]))
+        ).load()
         t0 = time.perf_counter()
         compiled = se.deserialize_and_load(payload, in_tree, out_tree)
         logger.info(
@@ -122,7 +150,7 @@ def _guarded(compiled: Callable, lowered: Any, path: Path) -> Callable:
     the call — so a stale cache can never take down serving/bench.
     After one good call the dispatch goes straight through.
     """
-    state = {"fn": compiled, "ok": False}
+    state = {"fn": compiled, "ok": False, "lowered": lowered}
 
     def call(*a):
         if state["ok"]:
@@ -137,11 +165,12 @@ def _guarded(compiled: Callable, lowered: Any, path: Path) -> Callable:
                 e,
             )
             path.unlink(missing_ok=True)
-            fresh = lowered.compile()
+            fresh = state["lowered"].compile()
             _store(path, fresh)
             state["fn"] = fresh
             out = fresh(*a)
         state["ok"] = True
+        state["lowered"] = None  # drop the (large) IR once validated
         return out
 
     return call

@@ -38,6 +38,14 @@ def _to_numpy(v: Any) -> np.ndarray:
     return np.asarray(v)
 
 
+def _torch_key(path: tuple) -> str:
+    """flax variable path -> torch state-dict key.  THE single mapping
+    rule — importer, exporter, and audit all derive from it so they
+    cannot drift apart."""
+    _, *module_path, leaf = path
+    return ".".join([*module_path, _FLAX_TO_TORCH_LEAF.get(leaf, leaf)])
+
+
 def strip_module_prefix(state_dict: Mapping[str, Any]) -> dict[str, Any]:
     """Remove DataParallel 'module.' key prefixes if present."""
     keys = list(state_dict.keys())
@@ -62,9 +70,8 @@ def import_torch_state_dict(
     out = {}
     missing = []
     for path, template in flat.items():
-        collection, *module_path, leaf = path
-        torch_leaf = _FLAX_TO_TORCH_LEAF.get(leaf, leaf)
-        torch_key = ".".join([*module_path, torch_leaf])
+        leaf = path[-1]
+        torch_key = _torch_key(path)
         if torch_key not in state_dict:
             missing.append(torch_key)
             out[path] = template
@@ -112,9 +119,7 @@ def audit_torch_import(
     flat = traverse_util.flatten_dict(variables)
     consumed, missing = set(), []
     for path, _ in flat.items():
-        _, *module_path, leaf = path
-        torch_leaf = _FLAX_TO_TORCH_LEAF.get(leaf, leaf)
-        torch_key = ".".join([*module_path, torch_leaf])
+        torch_key = _torch_key(path)
         if torch_key in state_dict:
             consumed.add(torch_key)
         else:
@@ -136,15 +141,13 @@ def export_torch_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarra
     flat = traverse_util.flatten_dict(variables)
     out: dict[str, np.ndarray] = {}
     for path, value in flat.items():
-        collection, *module_path, leaf = path
-        torch_leaf = _FLAX_TO_TORCH_LEAF.get(leaf, leaf)
         arr = np.asarray(value)
-        if leaf == "kernel":
+        if path[-1] == "kernel":
             if arr.ndim == 4:
                 arr = np.transpose(arr, (3, 2, 0, 1))
             elif arr.ndim == 2:
                 arr = np.transpose(arr, (1, 0))
-        out[".".join([*module_path, torch_leaf])] = arr
+        out[_torch_key(path)] = arr
     return out
 
 
