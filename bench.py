@@ -127,8 +127,12 @@ def main(argv=None) -> int:
     p.add_argument("--boxes", type=int, default=32, help="word boxes per receipt")
     p.add_argument("--dispatches", type=int, default=16,
                    help="timed dispatches in the steady-state window")
-    p.add_argument("--depth", type=int, default=2,
-                   help="dispatches kept in flight (pipelining)")
+    p.add_argument("--depth", type=int, default=3,
+                   help="dispatches kept in flight (pipelining).  3 is "
+                        "the measured sweet spot on the axon tunnel: "
+                        "d2 88.5 / d3 144.6 / d4 146.2 r/s same-hour — "
+                        "depth 2 stalls the device on host decode + "
+                        "per-dispatch RPC latency")
     p.add_argument("--receipt-h", type=int, default=600)
     p.add_argument("--receipt-w", type=int, default=400)
     p.add_argument("--prediction", default="Attention",
