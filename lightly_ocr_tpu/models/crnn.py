@@ -38,6 +38,13 @@ class CRNNet(nn.Module):
         text: jax.Array | None = None,  # [B, >=num_steps] for teacher forcing
         train: bool = False,
     ) -> jax.Array:
+        if self.quant and train:
+            raise ValueError(
+                "quant=True is an inference-only mode: QuantConv's "
+                "jnp.round has zero gradient, so training would silently "
+                "freeze every backbone conv.  Train in float and enable "
+                "quant_int8 only for serving."
+            )
         cfg = self.cfg
         x = images.astype(self.dtype)
 

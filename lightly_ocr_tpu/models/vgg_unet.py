@@ -248,6 +248,13 @@ class VGG_UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
+        if self.quant and train:
+            raise ValueError(
+                "quant=True is an inference-only mode: QuantConv's "
+                "jnp.round has zero gradient, so training would silently "
+                "freeze every backbone conv.  Train in float and enable "
+                "quant_int8 only for serving."
+            )
         s = VggBackbone(self.dtype, self.quant, name="basenet")(x, train)
 
         y = jnp.concatenate([s["fc7"], s["slice4"]], axis=-1)  # H/16
@@ -305,6 +312,11 @@ class VGG_UNetTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.quant and train:
+            raise ValueError(
+                "quant=True is an inference-only mode (zero-gradient "
+                "rounding); train in float."
+            )
         bb = _FromStemBasenet if self.from_stem else VggBackbone
         s = bb(self.dtype, self.quant, name="basenet")(x, train)
 

@@ -160,3 +160,21 @@ def test_batched_ocr_int8_box_parity():
         # character on structured receipts (VERDICT r1 #6).
         assert ia["text"] == ib["text"], (ia["text"], ib["text"])
         assert abs(ia["confidence"] - ib["confidence"]) < 0.05
+
+
+def test_quant_models_refuse_training():
+    """quant=True is inference-only: jnp.round's zero gradient would
+    silently freeze every backbone conv, so the models raise instead
+    (ADVICE r1)."""
+    cfg = Config()
+    with pytest.raises(ValueError, match="inference-only"):
+        CRNNet(cfg, quant=True).init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.height, cfg.width, 1)),
+            jnp.zeros((1, cfg.num_steps), jnp.int32),
+            train=True,
+        )
+    with pytest.raises(ValueError, match="inference-only"):
+        VGG_UNet(quant=True).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True
+        )
