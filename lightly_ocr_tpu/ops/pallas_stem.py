@@ -58,32 +58,65 @@ def _stem_kernel(rows, w01_ref, w2_ref, b_ref, xcat_hbm, out_ref, slab_ref, sem)
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        xcat_hbm.at[b, pl.ds(i * rows, rows + 2)], slab_ref, sem
-    )
-    cp.start()
-    cp.wait()
-    slab = slab_ref[:]
+    ni = pl.num_programs(1)
+    nsteps = pl.num_programs(0) * ni
+
+    def dma(b_, i_, slot):
+        return pltpu.make_async_copy(
+            xcat_hbm.at[b_, pl.ds(i_ * rows, rows + 2)],
+            slab_ref.at[slot],
+            sem.at[slot],
+        )
+
+    # Double-buffered slab DMA across sequential grid steps (same
+    # pattern as the tail kernel): prefetch step k+1's rows while
+    # computing step k, instead of stalling every step on its copy.
+    k = b * ni + i
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _():
+        dma(b, i, slot).start()
+
+    @pl.when(k + 1 < nsteps)
+    def _():
+        kn = k + 1
+        dma(kn // ni, jax.lax.rem(kn, ni), jax.lax.rem(kn, 2)).start()
+
+    dma(b, i, slot).wait()
+    slab = slab_ref[slot]
     R = rows
-    Wo = out_ref.shape[2]
+    Wo = out_ref.shape[2]  # 8-aligned output width
+    # w-taps 0/1 read the lane-packed xcat at col c (aligned slice);
+    # w-tap 2 reads x0(c+2) = xcat's first half two columns over — a
+    # misaligned slice that costs ONE in-VMEM realign copy (Mosaic's
+    # tpu.dynamic_rotate is unimplemented for 16-bit data, so slices,
+    # not rolls).  Both slices are taken before the per-u row split.
+    x01 = slab[:, 0:Wo]
+    x2 = slab[:, 2 : 2 + Wo, 0:64]
     acc = None
     for u in range(3):
-        rs = slab[u : u + R]
+        # Flatten [R, Wo, C] -> [R*Wo, C] for ONE matmul per tap: Wo is
+        # 8-aligned so the reshape is a layout no-op, and the MXU sees
+        # M=R*Wo instead of R fragmented W-row matmuls (the fragmented
+        # form measured ~6x slower than XLA's conv — issue-latency
+        # bound, not FLOP bound).
         d = jax.lax.dot_general(
-            rs[:, 0:Wo],
+            x01[u : u + R].reshape(R * Wo, 128),
             w01_ref[u],
-            (((2,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         d2 = jax.lax.dot_general(
-            rs[:, 2 : 2 + Wo, 0:64],
+            x2[u : u + R].reshape(R * Wo, 64),
             w2_ref[u],
-            (((2,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         s = d + d2
         acc = s if acc is None else acc + s
-    out_ref[0] = jnp.maximum(acc + b_ref[:], 0.0).astype(out_ref.dtype)
+    y = jnp.maximum(acc + b_ref[:].reshape(1, -1), 0.0)
+    out_ref[0] = y.reshape(R, Wo, 64).astype(out_ref.dtype)
 
 
 def stem_params(variables: dict) -> tuple:
@@ -124,6 +157,11 @@ def fused_stem_conv(
     B, H, W, C = x0.shape
     if C != 64:
         raise ValueError(f"fused stem expects 64 channels, got {C}")
+    if W % 8:
+        # the kernel's flattened [R*W, C] dots need an 8-aligned W
+        # (canvas widths are multiples of 32, so this never fires in
+        # serving)
+        raise ValueError(f"fused stem: W={W} not a multiple of 8")
     rows = _pick_rows(H)
     if rows == 0:
         raise ValueError(f"fused stem: H={H} not divisible by 4")
@@ -161,8 +199,14 @@ def fused_stem_conv(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, 64), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2, W + 2 + wpad, 128), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, rows + 2, W + 2 + wpad, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        # rows=40 double-buffered slabs are ~14 MB — past the 16 MB
+        # default scoped budget (v5e has 128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
     )(w01, w2, b, xcat)

@@ -44,30 +44,50 @@ from jax.experimental.pallas import tpu as pltpu
 HALO = 4  # four stacked 3x3 convs -> 4 rows/cols of context per side
 
 
-def _conv3(src, wk, bias):
-    """[R, Wd, C] x [3, 3C, Co] -> ReLU'd [R-2, Wd-2, Co] (f32 acc).
+def _conv3_same(src, wk, bias):
+    """SAME 3x3 conv at constant geometry: [S, Wd, C] x [3, 3C, Co] ->
+    ReLU'd [S, Wd, Co] (f32 acc), Wd 8-aligned.
 
-    ``wk[u]`` holds the u-th kernel row's taps stacked w-tap-major on its
-    first axis.  Each of the nine taps contracts as its own [.., C] x
-    [C, Co] dot against the (u, v)-shifted window — Mosaic cannot yet
-    concatenate w-shifted slices on the lane dim (offset mismatch on the
-    sublane dim), so the im2col-style K=3C dot is expressed as a sum of
-    K=C dots instead; the MXU accumulates them in f32 either way.
+    Two structural choices make this MXU-bound instead of issue-bound:
+
+    * Every dot runs on the FLATTENED [S*Wd, C] view — Wd is 8-aligned
+      so the reshape is a layout no-op, and the MXU sees one M=S*Wd
+      matmul per tap instead of S fragmented per-row matmuls (the
+      fragmented form measured ~6x slower than XLA's own conv).
+    * The three w-taps are packed into the CONTRACTION dim: lane-concat
+      of the v-rolled slabs gives K=3C, matching ``wk[u]``'s w-tap-major
+      layout — one dot per kernel row, 3C<=128 stages go from 9 MXU
+      passes to 3.
+
+    Row taps come from the zero-padded row window (dim 0 is untiled —
+    free).  W-taps are SLICES of the zero-padded col window rather than
+    rotations: Mosaic's tpu.dynamic_rotate is unimplemented for 16-bit
+    data, while a misaligned slice lowers to one in-VMEM realign copy
+    of the (small) stage tensor.  Slicing on the [S+2, ...] view before
+    the per-u row split keeps that to two copies per stage, and the
+    explicit zero pad means no wrap garbage at all — only the
+    slab-ring cells lose true neighbor data, which the halo discipline
+    already treats as invalid (see the rezero note in ``_tail_kernel``).
     """
-    R, Wd, C = src.shape
-    Ro, Wo = R - 2, Wd - 2
+    S, Wd, C = src.shape
+    Co = wk.shape[-1]
+    xp = jnp.pad(src, ((1, 1), (1, 7), (0, 0)))  # cols padded 8-aligned
+    # lane-concat of the three w-taps -> one K=3C dot per kernel row,
+    # matching wk[u]'s w-tap-major layout
+    xcat = jnp.concatenate(
+        [xp[:, v : v + Wd] for v in range(3)], axis=-1
+    )  # [S+2, Wd, 3C]
     acc = None
     for u in range(3):
-        rs = src[u : u + Ro]
-        for v in range(3):
-            d = jax.lax.dot_general(
-                rs[:, v : v + Wo],
-                wk[u, v * C : (v + 1) * C],
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = d if acc is None else acc + d
-    return jnp.maximum(acc + bias, 0.0).astype(src.dtype)
+        d = jax.lax.dot_general(
+            xcat[u : u + S].reshape(S * Wd, 3 * C),
+            wk[u],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    y = jnp.maximum(acc + bias.reshape(1, Co), 0.0)
+    return y.reshape(S, Wd, Co).astype(src.dtype)
 
 
 def _tail_kernel(
@@ -76,69 +96,107 @@ def _tail_kernel(
     wa_ref, ba_ref, w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
     w6_ref, b6_ref, w8_ref, b8_ref,
     out_ref,
-    slab, sem,
+    slabs, sems,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    cp = pltpu.make_async_copy(
-        xp_hbm.at[
-            b,
-            pl.ds(i * rows, rows + 2 * HALO),
-            pl.ds(j * cols, cols + 2 * HALO),
-        ],
-        slab,
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    ni = pl.num_programs(1)
+    nj = pl.num_programs(2)
+    nsteps = pl.num_programs(0) * ni * nj
 
-    def rezero(t, stage):
+    def dma(b_, i_, j_, slot):
+        return pltpu.make_async_copy(
+            xp_hbm.at[
+                b_,
+                pl.ds(i_ * rows, rows + 2 * HALO),
+                pl.ds(j_ * cols, cols + 2 * HALO),
+            ],
+            slabs.at[slot],
+            sems.at[slot],
+        )
+
+    # Double-buffered input DMA across sequential grid steps (scratch
+    # persists between steps on TPU): while step k computes on slot k%2,
+    # step k+1's slab is already in flight into slot (k+1)%2.  The
+    # synchronous start/wait version left every one of the ~5k grid
+    # steps stalled on its own copy latency (measured 0.47x vs XLA —
+    # BENCH.md round 2); prefetching hides it behind the conv chain.
+    k = (b * ni + i) * nj + j
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _():
+        dma(b, i, j, slot).start()
+
+    @pl.when(k + 1 < nsteps)
+    def _():
+        kn = k + 1
+        bn = kn // (ni * nj)
+        rn = jax.lax.rem(kn, ni * nj)
+        dma(bn, rn // nj, jax.lax.rem(rn, nj), jax.lax.rem(kn, 2)).start()
+
+    dma(b, i, j, slot).wait()
+    S = rows + 2 * HALO
+    Wd = cols + 2 * HALO
+    slab = slabs[slot]  # [S, Wd, 128]
+
+    def rezero(t):
         """Zero positions outside the true image: stacked SAME convs pad
         each INTERMEDIATE with zeros, so virtual halo cells must read 0,
-        not conv(0)=relu(bias).  After stage k the slab's (r, c) maps to
-        image (i*rows + r - off, j*cols + c - off) with off = HALO - k.
-        Also zeroes the right-padding columns past w2 (the col grid pads
-        W/2 up to a cols multiple)."""
-        off = HALO - stage
+        not conv(0)=relu(bias).  Constant-geometry stages keep slab
+        (r, c) -> image (i*rows + r - HALO, j*cols + c - HALO) fixed, so
+        one mask serves every stage.  Slab-RING cells (within HALO of
+        the slab edge but inside the image) accumulate roll-wrap garbage
+        instead: a cell at ring distance d is valid after stage k iff
+        d >= k, the final extract keeps only d >= HALO — finite garbage,
+        never read.  Also zeroes the right-padding columns past w2 (the
+        col grid pads W/2 up to a cols multiple)."""
         # 3D iotas: Mosaic cannot insert a minor dim on sub-32-bit types
         # (bf16 `ok[..., None]` fails to compile), so build the mask at
         # the value's full rank directly.
         r_img = (
             jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-            + i * rows - off
+            + i * rows - HALO
         )
         c_img = (
             jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            + j * cols - off
+            + j * cols - HALO
         )
         ok = (r_img >= 0) & (r_img < h2) & (c_img >= 0) & (c_img < w2)
         return jnp.where(ok, t, jnp.zeros_like(t))
 
-    x = rezero(_conv3(slab[:], wa_ref[:], ba_ref[:]), 1)  # [rows+6, W+6, 32]
-    x = rezero(_conv3(x, w0_ref[:], b0_ref[:]), 2)        # [rows+4, W+4, 32]
-    x = rezero(_conv3(x, w2_ref[:], b2_ref[:]), 3)        # [rows+2, W+2, 32]
-    x = _conv3(x, w4_ref[:], b4_ref[:])                   # [rows,   W,   16]
+    # stage A contracts the REAL 64 input channels (lanes 64:128 of the
+    # DMA-aligned slab are zero padding; slicing them off halves the
+    # stage-A MXU passes)
+    x = rezero(_conv3_same(slab[:, :, 0:64], wa_ref[:], ba_ref[:]))
+    x = rezero(_conv3_same(x, w0_ref[:], b0_ref[:]))      # [S, Wd, 32]
+    x = rezero(_conv3_same(x, w2_ref[:], b2_ref[:]))      # [S, Wd, 32]
+    x = _conv3_same(x, w4_ref[:], b4_ref[:])              # [S, Wd, 16]
+    xf = x.reshape(S * Wd, x.shape[-1])
     e = jnp.maximum(
         jax.lax.dot_general(
-            x, w6_ref[:], (((2,), (0,)), ((), ())),
+            xf, w6_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + b6_ref[:],
+        + b6_ref[:].reshape(1, -1),
         0.0,
     ).astype(x.dtype)
     o = (
         jax.lax.dot_general(
-            e, w8_ref[:], (((2,), (0,)), ((), ())),
+            e, w8_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + b8_ref[:]
+        + b8_ref[:].reshape(1, -1)
     )
+    oc = o.reshape(S, Wd, 2)[
+        HALO : HALO + rows, HALO : HALO + cols
+    ]
     # channels-SECOND output: a [rows, 2, cols] block keeps the lane
     # dim 128-dense (cols); a [.., cols, 2] block lane-pads 2 -> 128
     # and the staging of that 64x-padded buffer blows the 16 MB scoped
     # VMEM limit at production shapes.
-    out_ref[0] = jnp.transpose(o, (0, 2, 1)).astype(out_ref.dtype)
+    out_ref[0] = jnp.transpose(oc, (0, 2, 1)).astype(out_ref.dtype)
 
 
 def fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
@@ -182,10 +240,12 @@ def _pick_rows(h2: int) -> int:
     r = _env_int("LIGHTLY_OCR_TAIL_ROWS")
     if r is not None:
         return r if h2 % r == 0 else 0
-    # Mosaic compile cost scales with the unrolled BODY volume (slab
-    # rows x cols x stages): 8 rows compiles ~4x faster than 32 and the
-    # extra grid steps are nearly free (the DMA pipeline hides them).
-    for r in (8, 16, 32, 4):
+    # Larger row blocks amortize the fixed 2*HALO halo rows (rows=8
+    # recomputes 2x the output volume, rows=40 only 1.2x).  The
+    # flattened-dot kernel body is a fixed op count, so Mosaic compile
+    # cost no longer scales with the slab volume the way the old
+    # per-row-sliced form did.
+    for r in (40, 24, 16, 8, 4):
         if h2 % r == 0:
             return r
     return 0
@@ -209,16 +269,14 @@ def tail_params(variables: dict) -> tuple:
         pc["1"]["scale"], pc["1"]["bias"],
         bc["1"]["mean"], bc["1"]["var"],
     )
-    # 3x3 (64->32) + BN folded — stage A of the kernel.  The input-
-    # channel dim is zero-padded 64 -> 128 to match the lane-padded
-    # slab (TPU DMA slices must be tile-aligned on the lane dim) —
-    # which also fills the MXU's 128-deep contraction for stage A.
+    # 3x3 (64->32) + BN folded — stage A of the kernel.  The kernel
+    # slices the DMA-aligned 128-lane slab down to the real 64 input
+    # channels before contracting, so the weights stay unpadded.
     ka, ba = fold_bn(
         pc["3"]["kernel"], pc["3"]["bias"],
         pc["4"]["scale"], pc["4"]["bias"],
         bc["4"]["mean"], bc["4"]["var"],
     )
-    ka = jnp.pad(ka, ((0, 0), (0, 0), (0, 64), (0, 0)))
     h = p["conv_cls"]
 
     def b_(x):
@@ -290,15 +348,18 @@ def fused_tail_scores(
         out_shape=jax.ShapeDtypeStruct((B, H2, 2, W2P), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM(
-                (rows + 2 * HALO, cols + 2 * HALO, 128), jnp.bfloat16
+                (2, rows + 2 * HALO, cols + 2 * HALO, 128), jnp.bfloat16
             ),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         # the compiler's default 16 MB scoped-vmem budget rejects the
         # kernel at production shapes (v5e has 128 MB VMEM; measured
-        # need ~40 MB of scoped stack)
+        # need ~40 MB of scoped stack).  All grid dims must run
+        # sequentially on one core: the double-buffered slab scratch
+        # carries state from step k to k+1.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(xp, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8)
