@@ -54,10 +54,12 @@ def _conv3_same(src, wk, bias):
       so the reshape is a layout no-op, and the MXU sees one M=S*Wd
       matmul per tap instead of S fragmented per-row matmuls (the
       fragmented form measured ~6x slower than XLA's own conv).
-    * The three w-taps are packed into the CONTRACTION dim: lane-concat
-      of the v-rolled slabs gives K=3C, matching ``wk[u]``'s w-tap-major
-      layout — one dot per kernel row, 3C<=128 stages go from 9 MXU
-      passes to 3.
+    * One dot per (u, v) TAP, accumulated in f32 — NOT a lane-concat
+      into a K=3C dot: Mosaic cannot concatenate w-shifted slices on
+      the lane dim ("result/input offset mismatch on non-concat
+      dimension", the slices carry sublane offsets 0/1/2), while a sum
+      of per-tap dots is the identical contraction and each operand is
+      a plain (possibly realigned) slice.
 
     Row taps come from the zero-padded row window (dim 0 is untiled —
     free).  W-taps are SLICES of the zero-padded col window rather than
@@ -72,20 +74,20 @@ def _conv3_same(src, wk, bias):
     S, Wd, C = src.shape
     Co = wk.shape[-1]
     xp = jnp.pad(src, ((1, 1), (1, 7), (0, 0)))  # cols padded 8-aligned
-    # lane-concat of the three w-taps -> one K=3C dot per kernel row,
-    # matching wk[u]'s w-tap-major layout
-    xcat = jnp.concatenate(
-        [xp[:, v : v + Wd] for v in range(3)], axis=-1
-    )  # [S+2, Wd, 3C]
+    # the three w-tap views of the padded slab; wk[u, v*C:(v+1)*C] is
+    # the matching (u, v) kernel tap (w-tap-major weight layout, and
+    # v*C is sublane-aligned for every stage width)
+    xv = [xp[:, v : v + Wd] for v in range(3)]
     acc = None
     for u in range(3):
-        d = jax.lax.dot_general(
-            xcat[u : u + S].reshape(S * Wd, 3 * C),
-            wk[u],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = d if acc is None else acc + d
+        for v in range(3):
+            d = jax.lax.dot_general(
+                xv[v][u : u + S].reshape(S * Wd, C),
+                wk[u, v * C : (v + 1) * C],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
     y = jnp.maximum(acc + bias.reshape(1, Co), 0.0)
     return y.reshape(S, Wd, Co).astype(src.dtype)
 
