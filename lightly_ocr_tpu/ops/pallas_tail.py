@@ -12,10 +12,10 @@ whole chain
     3x3 conv(64->32)+BN+ReLU -> 3x3(32->32)+ReLU -> 3x3(32->32)+ReLU ->
     3x3(32->16)+ReLU -> 1x1(16->16)+ReLU -> 1x1(16->2)
 
-per slab, writing only the 2-channel score map back to HBM.  All convs
-are im2col dots (w-taps concatenated on the lane dim, K=3C) so the MXU
-does the arithmetic; HBM traffic drops from ~10 activation round-trips
-to one read + one (tiny) write.
+per slab, writing only the 2-channel score map back to HBM.  Each 3x3
+conv is ONE near-dense MXU dot (row taps packed into K=3C, w-taps into
+N=3Co, w-shifts applied output-side); HBM traffic drops from ~10
+activation round-trips to one read + one (tiny) write.
 
 Parity: reference head semantics at ``ocr/model.py:34-46`` (upconv4 +
 conv_cls); numerics tested against the unfused flax modules in
@@ -45,51 +45,58 @@ HALO = 4  # four stacked 3x3 convs -> 4 rows/cols of context per side
 
 
 def _conv3_same(src, wk, bias):
-    """SAME 3x3 conv at constant geometry: [S, Wd, C] x [3, 3C, Co] ->
+    """SAME 3x3 conv at constant geometry: [S, Wd, C] x [3C, 3Co] ->
     ReLU'd [S, Wd, Co] (f32 acc), Wd 8-aligned.
 
-    Two structural choices make this MXU-bound instead of issue-bound:
+    The whole 3x3 is ONE near-dense MXU dot; both 3x tap factors ride
+    the matmul's K and N dims instead of a 9-dot loop:
 
-    * Every dot runs on the FLATTENED [S*Wd, C] view — Wd is 8-aligned
-      so the reshape is a layout no-op, and the MXU sees one M=S*Wd
-      matmul per tap instead of S fragmented per-row matmuls (the
-      fragmented form measured ~6x slower than XLA's own conv).
-    * One dot per (u, v) TAP, accumulated in f32 — NOT a lane-concat
-      into a K=3C dot: Mosaic cannot concatenate w-shifted slices on
-      the lane dim ("result/input offset mismatch on non-concat
-      dimension", the slices carry sublane offsets 0/1/2), while a sum
-      of per-tap dots is the identical contraction and each operand is
-      a plain (possibly realigned) slice.
+    * K = 3C — the three ROW taps are lane-concatenated views of the
+      zero-padded slab.  Row slices live on the untiled dim 0, so all
+      three operands carry identical (zero) sublane/lane offsets and
+      Mosaic's concat restriction ("offset mismatch on non-concat
+      dimension", which kills the same trick for w-shifted slices)
+      does not apply.
+    * N = 3Co — the three W taps are separate output-channel blocks of
+      the same dot; the w-shift moves to the OUTPUT side as three
+      shifted slice-adds of the f32 result.  A misaligned output slice
+      lowers to one in-VMEM realign copy of the (small) stage tensor,
+      vs Mosaic's tpu.dynamic_rotate which is unimplemented for 16-bit
+      data.
 
-    Row taps come from the zero-padded row window (dim 0 is untiled —
-    free).  W-taps are SLICES of the zero-padded col window rather than
-    rotations: Mosaic's tpu.dynamic_rotate is unimplemented for 16-bit
-    data, while a misaligned slice lowers to one in-VMEM realign copy
-    of the (small) stage tensor.  Slicing on the [S+2, ...] view before
-    the per-u row split keeps that to two copies per stage, and the
-    explicit zero pad means no wrap garbage at all — only the
-    slab-ring cells lose true neighbor data, which the halo discipline
-    already treats as invalid (see the rezero note in ``_tail_kernel``).
+    The previous per-(u,v)-tap form ran 9 dots with K=C<=64, N=Co<=32;
+    Mosaic pads both to the 128 MXU tile, so >90% of the systolic array
+    computed zeros (measured 0.875x vs plain XLA end-to-end).  The
+    packed dot runs K=3C, N=3Co (96..192 lanes) — near-dense tiles.
+
+    The dot runs on the FLATTENED [S'*W', 3C] view — widths are
+    8-aligned so the reshape is a layout no-op, and the MXU sees one
+    tall matmul rather than S' fragmented per-row matmuls (the
+    fragmented form measured ~6x slower than XLA's own conv).
+    Zero-pad (not wrap) feeds the taps, so there is no wrap garbage —
+    only the slab-ring cells lose true neighbor data, which the halo
+    discipline already treats as invalid (see the rezero note in
+    ``_tail_kernel``).
     """
     S, Wd, C = src.shape
-    Co = wk.shape[-1]
+    Co = wk.shape[-1] // 3
     xp = jnp.pad(src, ((1, 1), (1, 7), (0, 0)))  # cols padded 8-aligned
-    # the three w-tap views of the padded slab; wk[u, v*C:(v+1)*C] is
-    # the matching (u, v) kernel tap (w-tap-major weight layout, and
-    # v*C is sublane-aligned for every stage width)
-    xv = [xp[:, v : v + Wd] for v in range(3)]
-    acc = None
-    for u in range(3):
-        for v in range(3):
-            d = jax.lax.dot_general(
-                xv[v][u : u + S].reshape(S * Wd, C),
-                wk[u, v * C : (v + 1) * C],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = d if acc is None else acc + d
-    y = jnp.maximum(acc + bias.reshape(1, Co), 0.0)
-    return y.reshape(S, Wd, Co).astype(src.dtype)
+    Wp = Wd + 8
+    # lane-concat of the three ROW taps (dim-0 slices: offset-free)
+    xr = jnp.concatenate([xp[u : u + S] for u in range(3)], axis=-1)
+    y = jax.lax.dot_general(
+        xr.reshape(S * Wp, 3 * C),
+        wk,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(S, Wp, 3 * Co)
+    # w-taps: out[r, c] += y[r, c+v, v-block]  (xp col c+v = src col
+    # c+v-1, i.e. kernel w-tap v of a SAME conv)
+    acc = y[:, 0:Wd, 0:Co]
+    for v in (1, 2):
+        acc = acc + y[:, v : v + Wd, v * Co : (v + 1) * Co]
+    out = jnp.maximum(acc + bias.reshape(1, 1, Co), 0.0)
+    return out.astype(src.dtype)
 
 
 def _tail_kernel(
@@ -211,9 +218,15 @@ def fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
 
 
 def _wtap(kernel):
-    """[3, 3, C, Co] float kernel -> bf16 [3, 3C, Co] w-tap-major."""
+    """[3, 3, C, Co] float kernel -> bf16 [3C, 3Co] packed for the
+    single-dot conv: K is row-tap-major (u*C + c), N is w-tap-major
+    (v*Co + o) — matching ``_conv3_same``'s lane-concat of row taps on
+    K and shifted output-block accumulation on N."""
     k = jnp.asarray(kernel, jnp.float32)
-    return k.reshape(3, -1, k.shape[-1]).astype(jnp.bfloat16)
+    u3, v3, C, Co = k.shape
+    return (
+        k.transpose(0, 2, 1, 3).reshape(u3 * C, v3 * Co).astype(jnp.bfloat16)
+    )
 
 
 def _env_int(name: str, default: int | None = None) -> int | None:
