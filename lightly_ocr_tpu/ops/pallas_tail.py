@@ -309,15 +309,25 @@ def tail_params(variables: dict) -> tuple:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_tail_scores(
+def fused_tail_scores_cs(
     variables: dict, y192: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """[B, H2, W2, 192] trunk activation -> [B, H2, W2, 2] score maps.
+    """[B, H2, W2, 192] trunk activation -> CHANNELS-SECOND
+    [B, H2, 2, W2P] f32 score maps (W2P = W2 padded to the col-block
+    multiple; pad cols carry zeros).
+
+    This is the kernel's native output layout — a [rows, 2, cols]
+    block keeps the lane dim 128-dense.  Returning it directly lets
+    the caller slice ``y[:, :, 0, :W2]`` / ``y[:, :, 1, :W2]`` (views
+    that fuse into downstream thresholding); the channels-last
+    ``moveaxis`` the compat wrapper pays is a 471 MB f32 transpose
+    that measured 3.5 ms on device — the single largest op of the
+    fused path.
 
     ``y192`` is the H/2-resolution concat of the upsampled upconv3
     output and slice1 (see :class:`~lightly_ocr_tpu.models.vgg_unet.
-    VGG_UNetTrunk`).  Falls back to raising if H2 has no usable row
-    split — callers gate on :func:`fused_tail_supported`.
+    VGG_UNetTrunk`).  Raises if H2 has no usable row split — callers
+    gate on :func:`fused_tail_supported`.
     """
     B, H2, W2, _ = y192.shape
     rows = _pick_rows(H2)
@@ -334,7 +344,11 @@ def fused_tail_scores(
         variables
     )
 
-    # upconv4 1x1 + BN + ReLU in XLA (K=192 matmul, MXU-friendly).
+    # upconv4 1x1 + BN + ReLU in XLA (K=192 matmul, MXU-friendly),
+    # then an explicit zero pad: halo rings + channels 64 -> 128.  A
+    # padded ``conv_general_dilated`` emitting the slab in one op was
+    # tried and measured WORSE (XLA lowers it as pad+conv+epilogue,
+    # 11.5 ms vs 4.8 ms for this dot-then-pad chain on device).
     x = jax.lax.dot_general(
         y192.astype(jnp.bfloat16), k1,
         (((3,), (0,)), ((), ())),
@@ -378,6 +392,23 @@ def fused_tail_scores(
         ),
         interpret=interpret,
     )(xp, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8)
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_tail_scores(
+    variables: dict, y192: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Channels-LAST compat wrapper: [B, H2, W2, 192] -> [B, H2, W2, 2].
+
+    Matches the plain ``VGG_UNet`` head output layout for parity tests
+    and A/B scripts.  The serving path uses
+    :func:`fused_tail_scores_cs` instead — the ``moveaxis`` here is a
+    471 MB f32 device transpose (~3.5 ms) that production avoids by
+    slicing the channels-second layout directly.
+    """
+    W2 = y192.shape[2]
+    y = fused_tail_scores_cs(variables, y192, interpret=interpret)
     return jnp.moveaxis(y, 2, 3)[:, :, :W2]
 
 

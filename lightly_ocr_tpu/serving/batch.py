@@ -76,22 +76,27 @@ class BatchedOCR:
     def _fused_kernel_plan(self, h: int) -> tuple[bool, bool]:
         """(use_stem, use_tail) for canvas height ``h`` — TPU only.
 
-        Both are OFF by default: jax.profiler device timings showed the
-        row-packed folded tail 29 ms SLOWER than the plain flax graph
-        at batch 16 (111.5 vs 82.8 ms — packing G rows into channels
-        shrinks the spatial extent onto XLA's small-spatial conv cliff),
-        and the G=2 strided conv1_2 regressed end-to-end (83.5 vs
-        101 receipts/s).  Opt in for experiments via
-        ``LIGHTLY_OCR_ENABLE_FUSED=stem,tail`` (combine with
-        ``LIGHTLY_OCR_FUSED_IMPL=pallas`` for the slab kernels)."""
+        The Pallas TAIL is ON by default on TPU: with the packed
+        single-dot kernel it beats the plain flax graph on device
+        traces (81.9 vs 83.7 ms detector forward at b16 960x640) and
+        compiles in ~17 s at production widths.  Disable with
+        ``LIGHTLY_OCR_ENABLE_FUSED=none``, or set an explicit comma
+        list to choose stages.  The STEM stays opt-in (`=stem,tail`):
+        the G=2 strided conv1_2 regressed end-to-end (83.5 vs 101
+        receipts/s) and the Pallas stem never beat XLA on device."""
         import os
 
         from lightly_ocr_tpu.ops.pallas_stem import stem_supported
         from lightly_ocr_tpu.ops.pallas_tail import fused_tail_supported
 
-        enabled = set(
-            os.environ.get("LIGHTLY_OCR_ENABLE_FUSED", "").split(",")
-        )
+        env = os.environ.get("LIGHTLY_OCR_ENABLE_FUSED")
+        explicit = env is not None
+        if env is None:
+            enabled = {"tail"}
+        elif env.strip().lower() in ("", "none", "off", "0"):
+            enabled = set()
+        else:
+            enabled = {t.strip() for t in env.split(",")}
         on_tpu = jax.default_backend() == "tpu"
         use_tail = (
             on_tpu and fused_tail_supported(h // 2) and "tail" in enabled
@@ -102,7 +107,9 @@ class BatchedOCR:
             and not self.cfg.quant_int8
             and "stem" in enabled
         )
-        if "tail" in enabled and not use_tail:
+        # warn only on EXPLICIT requests that cannot be honored — the
+        # default-on tail silently falls back off-TPU / at odd heights
+        if explicit and "tail" in enabled and not use_tail:
             import logging
 
             logging.getLogger(__name__).warning(
@@ -113,7 +120,7 @@ class BatchedOCR:
                 else "canvas height %d: H/2=%d unsupported by the "
                      "tail kernel" % (h, h // 2),
             )
-        if "stem" in enabled and not use_stem:
+        if explicit and "stem" in enabled and not use_stem:
             import logging
 
             logging.getLogger(__name__).warning(
@@ -125,24 +132,24 @@ class BatchedOCR:
 
     @staticmethod
     def _fused_impls():
-        """The stem/tail implementations: row-packed XLA convs by
-        default (``ops/rowpack.py``); ``LIGHTLY_OCR_FUSED_IMPL=pallas``
-        selects the Pallas kernels (``ops/pallas_{stem,tail}.py``),
-        which are faster per-op but exceed the remote compile service's
-        budget at production canvas sizes on this tunnel."""
+        """The stem/tail implementations: the Pallas slab kernels by
+        default (``ops/pallas_{stem,tail}.py`` — the packed-dot tail
+        compiles in ~17 s at production widths and wins on device
+        traces); ``LIGHTLY_OCR_FUSED_IMPL=rowpack`` selects the
+        row-packed XLA convs (``ops/rowpack.py``) for A/B."""
         import os
 
-        if os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip() == "pallas":
-            from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv
-            from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores
+        if os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip() == "rowpack":
+            from lightly_ocr_tpu.ops.rowpack import (
+                stem_conv_rowpacked,
+                tail_scores_rowpacked,
+            )
 
-            return fused_stem_conv, fused_tail_scores
-        from lightly_ocr_tpu.ops.rowpack import (
-            stem_conv_rowpacked,
-            tail_scores_rowpacked,
-        )
+            return stem_conv_rowpacked, tail_scores_rowpacked
+        from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv
+        from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores_cs
 
-        return stem_conv_rowpacked, tail_scores_rowpacked
+        return fused_stem_conv, fused_tail_scores_cs
 
     def _build(self):
         cfg = self.cfg
@@ -157,13 +164,18 @@ class BatchedOCR:
         fused_impls = self._fused_impls
 
         def detector_scores(det_vars, canvases):
-            # detector forward on the whole batch.  On TPU two fused
-            # implementations replace the MXU-starved extremes of the
-            # graph: the full-res 64-channel conv1_2 and the channel-
-            # poor tail (upconv4 3x3 + cls head) — row-packed strided
-            # convs by default (ops/rowpack.py), Pallas kernels via
+            # detector forward on the whole batch -> (tmaps, lmaps)
+            # f32 [B, H2, W2] each.  On TPU two fused implementations
+            # replace the MXU-starved extremes of the graph: the
+            # full-res 64-channel conv1_2 and the channel-poor tail
+            # (upconv4 3x3 + cls head) — row-packed strided convs by
+            # default (ops/rowpack.py), Pallas kernels via
             # LIGHTLY_OCR_FUSED_IMPL=pallas; XLA keeps the well-shaped
-            # middle either way.
+            # middle either way.  The seam is a (tmaps, lmaps) TUPLE so
+            # the Pallas tail can hand over its native channels-second
+            # layout as two views — the channels-last normalization it
+            # would otherwise pay is a 471 MB f32 transpose (~3.5 ms
+            # device, the largest single op of the fused path).
             stem_conv, tail_scores = fused_impls()
 
             use_stem, use_tail = plan_for(canvases.shape[1])
@@ -174,9 +186,16 @@ class BatchedOCR:
                     y192 = det_trunk_fs.apply(det_vars, s1c)
                 else:
                     y192 = det_trunk.apply(det_vars, canvases)
-                return tail_scores(det_vars, y192)
+                w2 = canvases.shape[2] // 2
+                y = tail_scores(det_vars, y192)
+                if y.shape[2] == 2:
+                    # channels-second [B, H2, 2, W2P] (Pallas impl's
+                    # native layout; W2P >= W2 col-block padding)
+                    return y[:, :, 0, :w2], y[:, :, 1, :w2]
+                return y[..., 0], y[..., 1]
             y, _ = det_net.apply(det_vars, canvases)
-            return y.astype(jnp.float32)
+            y = y.astype(jnp.float32)
+            return y[..., 0], y[..., 1]
 
         def postprocess(rec_vars, y, gray, inv_ratio, extents):
             # on-device box extraction: on TPU the CC labeling runs
@@ -184,7 +203,7 @@ class BatchedOCR:
             # per step; vmapping the kernel would collapse the grid into
             # one oversized block), then the rest is vmapped with the
             # labels threaded through.
-            tmaps, lmaps = y[..., 0], y[..., 1]
+            tmaps, lmaps = y  # (region, affinity) f32 [B, H2, W2] each
             if jax.default_backend() == "tpu":
                 from lightly_ocr_tpu.ops.pallas_cc import (
                     label_components_checked,
@@ -261,7 +280,7 @@ class BatchedOCR:
                 before = jnp.cumsum(eos, axis=1) == 0
                 conf = jnp.prod(jnp.where(before, max_probs, 1.0), axis=1)
                 conf = jnp.where(jnp.any(eos, axis=1), conf, 0.0)
-            B = y.shape[0]
+            B = tmaps.shape[0]
             return {
                 "rects": rects,
                 "valid": valid,
@@ -303,26 +322,19 @@ class BatchedOCR:
 
         import os
 
-        impl = os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip()
         mono_env = os.environ.get("LIGHTLY_OCR_MONOLITH", "")
-        fused_on = bool(
-            os.environ.get("LIGHTLY_OCR_ENABLE_FUSED", "").strip()
-        )
-        # pallas impls default to the split (their Mosaic compiles blew
-        # the monolith's compile budget pre-col-blocking) — but only
-        # when a fused stage is actually enabled; an explicit
-        # MONOLITH=1 overrides for experiments
-        want_split = mono_env == "0" or (
-            impl == "pallas" and fused_on and mono_env != "1"
-        )
+        # The monolith is the default even with the Pallas tail inside:
+        # the packed-dot kernel's Mosaic compile is ~17 s at production
+        # widths (the pre-col-blocking SIGKILLs are history), and the
+        # split costs ~10% throughput on the tunnel (one extra RPC
+        # submission per batch).  LIGHTLY_OCR_MONOLITH=0 for A/B.
+        want_split = mono_env == "0"
         if jax.default_backend() == "tpu" and want_split:
-            # Split the chain into separately-jitted dispatches — only
-            # needed for the Pallas impls, whose Mosaic compiles exceed
-            # the remote compile service's budget inside the monolith
-            # (observed SIGKILL of the compile helper), or for A/B via
-            # LIGHTLY_OCR_MONOLITH=0.  Measured cost of the split on
-            # the axon tunnel: ~10% throughput (2 RPC submissions per
-            # batch), so the default is the single program.  Units:
+            # Split the chain into separately-jitted dispatches — A/B
+            # and bench --stage-times only (LIGHTLY_OCR_MONOLITH=0).
+            # Measured cost of the split on the axon tunnel: ~10%
+            # throughput (2 RPC submissions per batch), so the default
+            # is the single program.  Units:
             # detector scores (stem prefix + fused conv1_2 + trunk +
             # fused tail) | post (CC + boxes + crops + recognizer).
             scores_fn = jax.jit(detector_scores)
