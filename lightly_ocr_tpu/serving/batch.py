@@ -210,9 +210,14 @@ class BatchedOCR:
                 )
 
                 fg = (tmaps > cfg.low_text) | (lmaps > cfg.link_threshold)
+                # fast-bound 4: CC rounds cost ~0.7 ms each at b16
+                # 480x320; gaussian text blobs converge in 1-2, and a
+                # pessimistic ink-letter sweep measured 12/13 masks
+                # converged at 4 (only an adversarial snake needs more
+                # — which the residual check escalates past anyway)
                 labels = label_components_checked(
                     fg,
-                    rounds=min(cfg.cc_max_iters, 6),
+                    rounds=min(cfg.cc_max_iters, 4),
                     max_rounds=max(cfg.cc_max_iters, 24),
                 )
             else:
