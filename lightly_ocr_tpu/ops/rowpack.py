@@ -189,9 +189,12 @@ def tail_scores_rowpacked(variables: dict, y192: jax.Array) -> jax.Array:
     x = jnp.maximum(x + b1[None], 0.0).astype(jnp.bfloat16)
 
     def unpack(wt, cin):
-        # tail_params stores [3, 3*Cin, Cout] w-tap-major; recover
-        # [3, 3, Cin, Cout]
-        return wt.reshape(3, 3, cin, wt.shape[-1])
+        # tail_params stores [3*Cin, 3*Cout] packed for the Pallas
+        # single-dot conv (K row-tap-major u*C+c, N w-tap-major
+        # v*Co+o); recover [3, 3, Cin, Cout] = [u, v, c, o]
+        return (
+            wt.reshape(3, cin, 3, -1).transpose(0, 2, 1, 3)
+        )
 
     def g_for(cout):
         import os
@@ -206,9 +209,9 @@ def tail_scores_rowpacked(variables: dict, y192: jax.Array) -> jax.Array:
         y = conv3x3_rowpacked(x, k, g_for(k.shape[-1]))
         return jnp.maximum(y + bias, 0.0).astype(jnp.bfloat16)
 
-    # stage A folds upconv4's BN; wa's Cin is zero-padded to 128 by
-    # tail_params for the Pallas DMA — only the first 64 rows are live.
-    x = conv_block(x, unpack(wa, 128)[:, :, :64], ba)
+    # stage A folds upconv4's BN (tail_params keeps wa unpadded — the
+    # Pallas kernel slices its 128-lane slab down to the live 64)
+    x = conv_block(x, unpack(wa, 64), ba)
     x = conv_block(x, unpack(w0, 32), b0)
     x = conv_block(x, unpack(w2t, 32), b2)
     x = conv_block(x, unpack(w4, 32), b4)
