@@ -158,6 +158,24 @@ class TestGetDetBoxes:
         )
         assert not bool(out.valid.any())
 
+    def test_row_crowded_with_components(self):
+        """Candidate extraction is two-level (per-row leftmost-J roots,
+        J=32, then a global top-K2): a row whose TOPMOST pixels start
+        more components than J keeps the leftmost J — bounded overflow,
+        like the K2 cap itself.  40 components all rooted on one row:
+        the leftmost 32 must come through; nothing crashes or aliases."""
+        t = np.zeros((64, 512), np.float32)
+        for i in range(40):  # 4px-wide blobs, 8px apart, area 16 >= 10
+            t[5:9, 4 + 12 * i : 8 + 12 * i] = 0.9
+        out = get_det_boxes(
+            jnp.asarray(t), jnp.zeros_like(jnp.asarray(t)), max_boxes=64
+        )
+        n = int(np.asarray(out.valid).sum())
+        assert n == 32, f"expected leftmost 32 of 40 crowded roots, got {n}"
+        # and the kept boxes are the LEFTMOST ones
+        rects = np.asarray(out.boxes)[np.asarray(out.valid)]
+        assert rects[..., 0].max() < 4 + 12 * 32
+
     def test_boxes_to_rects_layout(self):
         boxes = jnp.asarray(
             [[[2.0, 3.0], [10.0, 3.0], [10.0, 7.0], [2.0, 7.0]]]
