@@ -11,7 +11,12 @@ also set explicitly because plugin registration can win over the env var.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# LIGHTLY_OCR_TEST_TPU=1 keeps the ambient (TPU) backend instead — for
+# the hardware-only gates (tests/test_tpu_serving.py), which skip
+# themselves on CPU.
+_USE_TPU = os.environ.get("LIGHTLY_OCR_TEST_TPU", "") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # Keep CPU test executables out of the committed .aotcache/ (it ships
 # TPU entries that pre-warm the driver's bench cold start).  Tests that
 # exercise the cache itself (test_aotcache.py) monkeypatch their own dir.
@@ -24,7 +29,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
