@@ -257,11 +257,12 @@ def _pick_rows(h2: int) -> int:
     if r is not None:
         return r if h2 % r == 0 else 0
     # Larger row blocks amortize the fixed 2*HALO halo rows (rows=8
-    # recomputes 2x the output volume, rows=40 only 1.2x).  The
+    # recomputes 2x the output volume, rows=48 only 1.17x).  The
     # flattened-dot kernel body is a fixed op count, so Mosaic compile
     # cost no longer scales with the slab volume the way the old
-    # per-row-sliced form did.
-    for r in (40, 24, 16, 8, 4):
+    # per-row-sliced form did.  Geometry sweep at 480x320 (device):
+    # 48/full-width 19.31 ms, 40/128 20.92 — identical outputs.
+    for r in (48, 40, 24, 16, 8, 4):
         if h2 % r == 0:
             return r
     return 0
@@ -334,12 +335,16 @@ def fused_tail_scores_cs(
     rows = _pick_rows(H2)
     if rows == 0:
         raise ValueError(f"fused tail: H/2={H2} not divisible by 4")
-    # Col-block the grid: Mosaic compile cost scales with the kernel
-    # BODY volume (slab width x unrolled stages), and full-width slabs
-    # at production canvases blow the remote compile service's budget.
-    # 128-col blocks keep the body ~10x smaller; W/2 is padded up to a
-    # cols multiple and the pad region is masked by rezero + sliced off.
-    cols = min(_env_int("LIGHTLY_OCR_TAIL_COLS", 128), W2)
+    # Col blocking: FULL-WIDTH slabs when W2 <= 384 — no W2P padding
+    # (the 128-block grid pads 320 -> 384 and wastes 20% of the tail
+    # compute; full-width measured 19.31 vs 20.92 ms at 480x320) and
+    # the out BlockSpec's lane dim equals the full array dim, which
+    # Mosaic accepts at any width.  Mosaic compile cost scales with
+    # the kernel BODY volume (slab width x unrolled stages): full
+    # width at 320 compiles in ~57 s; wider canvases fall back to
+    # 128-col blocks to stay inside the remote compile budget.
+    cols = min(_env_int("LIGHTLY_OCR_TAIL_COLS",
+                        W2 if W2 <= 384 else 128), W2)
     W2P = -(-W2 // cols) * cols
     (k1, b1, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8) = tail_params(
         variables
