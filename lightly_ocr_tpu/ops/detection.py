@@ -198,28 +198,34 @@ def get_det_boxes(
     lin = jnp.arange(HW, dtype=jnp.int32)
     roots_flat = flat_labels == lin
 
-    # Candidate extraction is TWO-LEVEL: a flat top_k over all HW
-    # pixels lowers to a full sort on TPU — 2.91 ms of the 4.4 ms box
-    # stage at b16 480x320 (device trace).  Roots are sparse (<= K2 by
-    # construction downstream) and a root is its component's smallest
-    # linear index, i.e. the LEFTMOST root pixel of its topmost row —
-    # so extract up to J leftmost roots per row with a short masked-min
-    # scan (J cheap [H, W] passes, parallel across rows), then run the
-    # exact top_k over the J*H survivors (~13x smaller sort).  Rows
-    # holding more than J component roots drop the rightmost ones —
-    # the same bounded-overflow semantics as the K2 cap itself (the
-    # reference has no cap at all).
+    # Candidate extraction is TWO-LEVEL when the map is tall enough: a
+    # flat top_k over all HW pixels lowers to a full sort on TPU —
+    # 2.91 ms of the 4.4 ms box stage at b16 480x320 (device trace).
+    # A root is its component's smallest linear index, i.e. the
+    # LEFTMOST root pixel of its topmost row — so extract up to J
+    # leftmost roots per row with a masked-min scan (J cheap [H, W]
+    # passes, parallel across rows), then run the exact top_k over the
+    # J*H survivors (~13x smaller sort).  CAVEAT (documented, bounded):
+    # a row whose TOPMOST pixels start more than J components loses the
+    # rightmost overflow even if global candidate slots remain — a
+    # tighter drop than the K2 cap alone (which the reference lacks
+    # entirely; tests/test_detection.py locks the semantics).  The flat
+    # sort is kept for short maps where J*H would crowd K2 and the
+    # sort is cheap anyway.
     J = min(32, W)
-    rootv = jnp.where(
-        roots_flat.reshape(H, W), lin.reshape(H, W), _BIG
-    )
+    if H >= 64 and K2 * 4 <= J * H:
+        rootv = jnp.where(
+            roots_flat.reshape(H, W), lin.reshape(H, W), _BIG
+        )
 
-    def _extract_min(x, _):
-        m = jnp.min(x, axis=1)  # [H] leftmost remaining root per row
-        return jnp.where(x == m[:, None], _BIG, x), m
+        def _extract_min(x, _):
+            m = jnp.min(x, axis=1)  # [H] leftmost remaining root/row
+            return jnp.where(x == m[:, None], _BIG, x), m
 
-    _, row_mins = jax.lax.scan(_extract_min, rootv, None, length=J)
-    cand = -jax.lax.top_k(-row_mins.reshape(-1), K2)[0]
+        _, row_mins = jax.lax.scan(_extract_min, rootv, None, length=J)
+        cand = -jax.lax.top_k(-row_mins.reshape(-1), K2)[0]
+    else:
+        cand = -jax.lax.top_k(jnp.where(roots_flat, -lin, -_BIG), K2)[0]
     cand_valid = cand < _BIG  # ascending root ids, padded with _BIG
 
     # pixel -> candidate id, ONLY for the per-pixel ``cid`` output (poly

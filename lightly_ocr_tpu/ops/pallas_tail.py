@@ -24,10 +24,11 @@ at small shapes (``scripts/check_pallas_tail_hw.py``).
 
 STATUS — ON by default on TPU (disable with
 ``LIGHTLY_OCR_ENABLE_FUSED=none``).  The packed-single-dot form
-compiles in ~17 s at the production canvas (the earlier per-row-sliced
-forms blew the remote compile service's budget) and beats the plain
-flax graph on device traces: 81.9 vs 83.7 ms detector forward at
-b16 960x640, fg-mask bit-identical, score maxdiff 4.3e-4
+compiles in ~17 s with 128-col blocks and ~57 s at the default
+full-width geometry (the earlier per-row-sliced forms blew the remote
+compile service's budget outright) and beats the plain flax graph on
+device traces: 81.9 vs 83.7 ms detector forward at b16 960x640,
+fg-mask bit-identical, score maxdiff 4.3e-4
 (``scripts/check_tail_prod_hw.py``).  The serving path consumes the
 kernel's native channels-second layout via
 :func:`fused_tail_scores_cs`; :func:`fused_tail_scores` is the
@@ -315,8 +316,13 @@ def fused_tail_scores_cs(
     variables: dict, y192: jax.Array, interpret: bool = False
 ) -> jax.Array:
     """[B, H2, W2, 192] trunk activation -> CHANNELS-SECOND
-    [B, H2, 2, W2P] f32 score maps (W2P = W2 padded to the col-block
-    multiple; pad cols carry zeros).
+    [B, H2, 2, W2P] f32 score maps.  W2P = W2 padded up to the
+    col-block multiple (equal to W2 at the default full-width
+    geometry); pad columns carry bias-propagated garbage, NOT zeros —
+    the rezero mask protects the conv stages' numerics inside the
+    valid region but the head's output over out-of-image columns is
+    conv-of-zeros (relu(bias) chains), so callers MUST slice
+    ``[..., :W2]`` before thresholding.
 
     This is the kernel's native output layout — a [rows, 2, cols]
     block keeps the lane dim 128-dense.  Returning it directly lets

@@ -132,11 +132,15 @@ class BatchedOCR:
 
     @staticmethod
     def _fused_impls():
-        """The stem/tail implementations: the Pallas slab kernels by
-        default (``ops/pallas_{stem,tail}.py`` — the packed-dot tail
-        compiles in ~17 s at production widths and wins on device
-        traces); ``LIGHTLY_OCR_FUSED_IMPL=rowpack`` selects the
-        row-packed XLA convs (``ops/rowpack.py``) for A/B."""
+        """(stem_conv, tail_scores, tail_is_cs): the Pallas slab
+        kernels by default (``ops/pallas_{stem,tail}.py`` — the
+        packed-dot tail wins on device traces and compiles in ~1 min
+        at production widths); ``LIGHTLY_OCR_FUSED_IMPL=rowpack``
+        selects the row-packed XLA convs (``ops/rowpack.py``) for A/B.
+        ``tail_is_cs`` declares the tail's output layout — channels-
+        second ``[B, H2, 2, W2P]`` (Pallas native) vs channels-last —
+        so the caller dispatches on impl identity, not shape sniffing.
+        """
         import os
 
         if os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip() == "rowpack":
@@ -145,11 +149,11 @@ class BatchedOCR:
                 tail_scores_rowpacked,
             )
 
-            return stem_conv_rowpacked, tail_scores_rowpacked
+            return stem_conv_rowpacked, tail_scores_rowpacked, False
         from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv
         from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores_cs
 
-        return fused_stem_conv, fused_tail_scores_cs
+        return fused_stem_conv, fused_tail_scores_cs, True
 
     def _build(self):
         cfg = self.cfg
@@ -165,18 +169,17 @@ class BatchedOCR:
 
         def detector_scores(det_vars, canvases):
             # detector forward on the whole batch -> (tmaps, lmaps)
-            # f32 [B, H2, W2] each.  On TPU two fused implementations
-            # replace the MXU-starved extremes of the graph: the
-            # full-res 64-channel conv1_2 and the channel-poor tail
-            # (upconv4 3x3 + cls head) — row-packed strided convs by
-            # default (ops/rowpack.py), Pallas kernels via
-            # LIGHTLY_OCR_FUSED_IMPL=pallas; XLA keeps the well-shaped
-            # middle either way.  The seam is a (tmaps, lmaps) TUPLE so
-            # the Pallas tail can hand over its native channels-second
-            # layout as two views — the channels-last normalization it
-            # would otherwise pay is a 471 MB f32 transpose (~3.5 ms
-            # device, the largest single op of the fused path).
-            stem_conv, tail_scores = fused_impls()
+            # f32 [B, H2, W2] each.  On TPU the channel-poor tail
+            # (upconv4 3x3 + cls head) runs as the fused Pallas slab
+            # kernel by default (LIGHTLY_OCR_FUSED_IMPL=rowpack selects
+            # the row-packed XLA A/B impl; LIGHTLY_OCR_ENABLE_FUSED
+            # gates stages); XLA keeps the well-shaped middle either
+            # way.  The seam is a (tmaps, lmaps) TUPLE so the Pallas
+            # tail can hand over its native channels-second layout as
+            # two views — the channels-last normalization it would
+            # otherwise pay is a 471 MB f32 transpose (~3.5 ms device,
+            # the largest single op of the fused path).
+            stem_conv, tail_scores, tail_is_cs = fused_impls()
 
             use_stem, use_tail = plan_for(canvases.shape[1])
             if use_tail:
@@ -188,9 +191,11 @@ class BatchedOCR:
                     y192 = det_trunk.apply(det_vars, canvases)
                 w2 = canvases.shape[2] // 2
                 y = tail_scores(det_vars, y192)
-                if y.shape[2] == 2:
+                if tail_is_cs:
                     # channels-second [B, H2, 2, W2P] (Pallas impl's
-                    # native layout; W2P >= W2 col-block padding)
+                    # native layout; W2P >= W2 col-block padding, and
+                    # pad columns carry bias-propagated garbage — the
+                    # :w2 slice is mandatory, see fused_tail_scores_cs)
                     return y[:, :, 0, :w2], y[:, :, 1, :w2]
                 return y[..., 0], y[..., 1]
             y, _ = det_net.apply(det_vars, canvases)
@@ -329,10 +334,11 @@ class BatchedOCR:
 
         mono_env = os.environ.get("LIGHTLY_OCR_MONOLITH", "")
         # The monolith is the default even with the Pallas tail inside:
-        # the packed-dot kernel's Mosaic compile is ~17 s at production
-        # widths (the pre-col-blocking SIGKILLs are history), and the
-        # split costs ~10% throughput on the tunnel (one extra RPC
-        # submission per batch).  LIGHTLY_OCR_MONOLITH=0 for A/B.
+        # the packed-dot kernel's Mosaic compile is ~1 min at the
+        # default full-width production geometry (the pre-col-blocking
+        # SIGKILLs are history), and the split costs ~10% throughput
+        # on the tunnel (one extra RPC submission per batch).
+        # LIGHTLY_OCR_MONOLITH=0 for A/B.
         want_split = mono_env == "0"
         if jax.default_backend() == "tpu" and want_split:
             # Split the chain into separately-jitted dispatches — A/B

@@ -13,8 +13,13 @@ import os
 
 # LIGHTLY_OCR_TEST_TPU=1 keeps the ambient (TPU) backend instead — for
 # the hardware-only gates (tests/test_tpu_serving.py), which skip
-# themselves on CPU.
+# themselves on CPU.  In that mode every OTHER test is deselected (see
+# pytest_collection_modifyitems below): the rest of the suite assumes
+# the CPU backend, and running it through the TPU tunnel means
+# multi-minute remote compiles per jit shape and bf16 matmul precision
+# — exactly the hazard the note below warns about.
 _USE_TPU = os.environ.get("LIGHTLY_OCR_TEST_TPU", "") == "1"
+_TPU_ONLY_MODULES = ("test_tpu_serving",)
 if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
 # Keep CPU test executables out of the committed .aotcache/ (it ships
@@ -34,6 +39,18 @@ if not _USE_TPU:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _USE_TPU:
+        return
+    skip = pytest.mark.skip(
+        reason="LIGHTLY_OCR_TEST_TPU=1 runs only the hardware-gate "
+               "modules; the rest of the suite assumes the CPU backend"
+    )
+    for item in items:
+        if item.module.__name__ not in _TPU_ONLY_MODULES:
+            item.add_marker(skip)
 
 
 @pytest.fixture

@@ -44,15 +44,18 @@ def test_stem_requires_tail(ocr, monkeypatch):
 
 def test_fused_impl_default_is_pallas(monkeypatch):
     monkeypatch.delenv("LIGHTLY_OCR_FUSED_IMPL", raising=False)
-    stem_conv, tail_scores = BatchedOCR._fused_impls()
+    stem_conv, tail_scores, tail_is_cs = BatchedOCR._fused_impls()
     assert stem_conv.__name__ == "fused_stem_conv"
     # the serving path takes the kernel's native channels-second
-    # output (no 471 MB moveaxis back to channels-last)
+    # output (no 471 MB moveaxis back to channels-last); the layout is
+    # declared by impl identity, not sniffed from shapes
     assert tail_scores.__name__ == "fused_tail_scores_cs"
+    assert tail_is_cs is True
 
 
 def test_fused_impl_rowpack_selectable(monkeypatch):
     monkeypatch.setenv("LIGHTLY_OCR_FUSED_IMPL", "rowpack")
-    stem_conv, tail_scores = BatchedOCR._fused_impls()
+    stem_conv, tail_scores, tail_is_cs = BatchedOCR._fused_impls()
     assert stem_conv.__name__ == "stem_conv_rowpacked"
     assert tail_scores.__name__ == "tail_scores_rowpacked"
+    assert tail_is_cs is False
