@@ -16,6 +16,14 @@ entry is impossible: any code / shape / dtype / config change lowers
 to different StableHLO and misses.  Weights are program *arguments*
 (not constants), so the cache is weight-independent.
 
+Over-sensitivity caveat: Pallas custom-calls embed their Mosaic MLIR
+(with kernel source locations) in ``backend_config``, so even a
+comment-only edit to a ``ops/pallas_*.py`` file shifts line numbers,
+changes the lowered text, and re-keys the program.  Harmless (a cold
+compile, never a wrong hit) — but after touching a Pallas file, re-run
+``python bench.py`` once and commit the fresh ``.jexe`` so the
+driver's bench keeps its warm start.
+
 Controls:
 * ``LIGHTLY_OCR_AOT_CACHE=<dir>`` — cache directory (default:
   ``<repo>/.aotcache``, which is committed so the driver's bench run
