@@ -41,37 +41,30 @@ def _cc_kernel(rounds: int, fg_ref, out_ref, lab_ref, seg_ref):
     lab_ref[:] = jnp.where(bg(), _BIG, row_idx * W + col_idx)
 
     def scan_dir(axis: int, size: int, backward: bool):
+        """Directional segmented min in ONE Hillis-Steele doubling
+        phase: carry (closed, value) pairs with the standard segmented
+        operator — ``x_i ⊕ x_{i-s} = (closed_i | closed_{i-s},
+        closed_i ? v_i : min(v_i, v_{i-s}))`` — instead of a
+        segment-id phase followed by a value phase.  The paired form is
+        2 rolls + 1 min per step vs the two-phase form's 3 rolls +
+        2 compares: measured ~?x on the whole CC stage (BENCH.md).
+        ``closed`` starts as the background mask (bg pixels are the
+        segment boundaries; their label is already _BIG so absorbing
+        them into a min is harmless — the flag is what STOPS
+        propagation across them)."""
         idx = col_idx if axis == 1 else row_idx
-        # segment ids: nearest background position behind the direction
-        if backward:
-            seg_ref[:] = jnp.where(bg(), idx, size)
-        else:
-            seg_ref[:] = jnp.where(bg(), idx, -1)
+        seg_ref[:] = jnp.where(bg(), 1, 0)  # closed flag
         shift = 1
         while shift < size:
             amt = size - shift if backward else shift
-            rolled = pltpu.roll(seg_ref[:], amt, axis=axis)
             ok = (idx < size - shift) if backward else (idx >= shift)
-            if backward:
-                seg_ref[:] = jnp.where(
-                    ok, jnp.minimum(seg_ref[:], rolled), seg_ref[:]
-                )
-            else:
-                seg_ref[:] = jnp.where(
-                    ok, jnp.maximum(seg_ref[:], rolled), seg_ref[:]
-                )
-            shift *= 2
-        # segmented min of labels within runs
-        shift = 1
-        while shift < size:
-            amt = size - shift if backward else shift
-            rolled_v = pltpu.roll(lab_ref[:], amt, axis=axis)
-            rolled_s = pltpu.roll(seg_ref[:], amt, axis=axis)
-            ok = (idx < size - shift) if backward else (idx >= shift)
-            ok = ok & (rolled_s == seg_ref[:])
+            v_r = pltpu.roll(lab_ref[:], amt, axis=axis)
+            f_r = pltpu.roll(seg_ref[:], amt, axis=axis)
+            open_ = ok & (seg_ref[:] == 0)
             lab_ref[:] = jnp.where(
-                ok, jnp.minimum(lab_ref[:], rolled_v), lab_ref[:]
+                open_, jnp.minimum(lab_ref[:], v_r), lab_ref[:]
             )
+            seg_ref[:] = jnp.where(open_ & (f_r == 1), 1, seg_ref[:])
             shift *= 2
 
     for _ in range(rounds):
@@ -91,7 +84,11 @@ def label_components_pallas(
     """[B, H, W] (or [H, W]) bool -> int32 labels (bg = H*W).
 
     ``rounds`` is a static propagation bound (one round crosses any
-    monotone staircase; text blobs converge in 1-2).
+    monotone staircase; text blobs converge in 1-2).  The kernel body
+    UNROLLS rounds x 4 directional scans, so Mosaic compile time grows
+    with ``rounds`` — keep it small (<= 6) and escalate pathological
+    masks through :func:`label_components_checked`'s XLA fallback
+    instead of compiling a high-rounds kernel.
     """
     if fg.ndim == 2:
         return label_components_pallas(fg[None], rounds, interpret)[0]
