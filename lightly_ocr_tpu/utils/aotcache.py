@@ -24,6 +24,16 @@ compile, never a wrong hit) — but after touching a Pallas file, re-run
 ``python bench.py`` once and commit the fresh ``.jexe`` so the
 driver's bench keeps its warm start.
 
+The embedded locations include the CALLING stack, not just the kernel
+file: lowering the identical program from a different entry script
+(a REPL, a wrapper, a test) produces a different Mosaic location
+table and therefore a different key.  Verified empirically: byte-level
+diff of two lowerings differed ONLY inside one ``tpu_custom_call``'s
+``backend_config``, while ``python bench.py`` re-keys identically
+run-to-run and hits its committed entry.  So: judge cache warmness
+ONLY by running ``python bench.py`` itself — an ad-hoc key probe from
+another script will report a phantom miss.
+
 Controls:
 * ``LIGHTLY_OCR_AOT_CACHE=<dir>`` — cache directory (default:
   ``<repo>/.aotcache``, which is committed so the driver's bench run
