@@ -111,6 +111,13 @@ class Config:
     enable_poly: bool = False
     max_boxes: int = 256  # static cap on detected boxes per image
     cc_max_iters: int = 16  # connected-component sweep cap
+    # CTC decoding strategy (beyond-parity: the reference only greedy-
+    # decodes, ocr/net.py:165-167).  "beam" = on-device prefix beam
+    # search (ops/ctc.py ctc_beam_search_decode); confidence becomes
+    # the true sequence posterior instead of the per-frame max cumprod.
+    # Ignored for prediction="Attention".
+    ctc_decode: str = "greedy"  # {"greedy", "beam"}
+    beam_width: int = 8
 
     def __post_init__(self):
         if self.transform not in ("None", "TPS"):
@@ -127,6 +134,12 @@ class Config:
             raise ValueError(f"pipeline must be CRAFT-CRNN, got {self.pipeline!r}")
         if self.height <= 0 or self.width <= 0 or self.batch_max_len <= 0:
             raise ValueError("height/width/batch_max_len must be positive")
+        if self.ctc_decode not in ("greedy", "beam"):
+            raise ValueError(
+                f"ctc_decode must be greedy|beam, got {self.ctc_decode!r}"
+            )
+        if self.beam_width <= 0:
+            raise ValueError("beam_width must be positive")
 
     # --- derived (canonical replacements for crnn.py:69-74 mutation) ---
     @property

@@ -259,11 +259,23 @@ class CRNN:
         net = self.net
         is_ctc = cfg.prediction == "CTC"
 
+        use_beam = is_ctc and cfg.ctc_decode == "beam"
+        beam_width = cfg.beam_width
+
         @jax.jit
         def recognize(variables, crops):
             """crops [K, H, W, 1] in [-1, 1] -> (indices [K, S],
-            confidence [K])."""
+            confidence [K]).  With ctc_decode="beam" the indices are
+            FINAL label sequences from the on-device prefix beam
+            search and confidence is the true sequence posterior."""
             preds = net.apply(variables, crops, None, False)  # [K, T, C]
+            if use_beam:
+                from lightly_ocr_tpu.ops.ctc import ctc_beam_search_decode
+
+                labels, _, scores = ctc_beam_search_decode(
+                    preds, beam_width=beam_width
+                )
+                return labels[:, 0], jnp.exp(scores[:, 0])
             probs = jax.nn.softmax(preds, axis=2)
             max_probs = jnp.max(probs, axis=2)  # [K, T]
             idx = jnp.argmax(preds, axis=2)  # [K, T]
@@ -298,6 +310,10 @@ class CRNN:
 
     def decode(self, idx: np.ndarray) -> list[str]:
         if self.cfg.prediction == "CTC":
+            if self.cfg.ctc_decode == "beam":
+                # beam output is already a final label sequence —
+                # CTC-collapsing again would eat genuine double letters
+                return self.converter.decode_labels(idx)
             return self.converter.decode_padded(idx)
         return self.converter.decode_trimmed(idx)
 

@@ -138,6 +138,188 @@ def ctc_greedy_decode(
     return packed, lengths
 
 
+def ctc_beam_search_decode(
+    logits: jax.Array,
+    beam_width: int = 8,
+    blank: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """CTC prefix beam search, fully on device (static shapes).
+
+    [B, T, C] logits -> (labels [B, W, T] int32 blank-padded,
+    lengths [B, W], scores [B, W] = log P(label sequence | input),
+    i.e. the posterior summed over ALL alignments of each prefix) —
+    beams sorted best-first.  ``exp(scores[:, 0])`` is a calibrated
+    sequence confidence, unlike the greedy path's cumprod of per-frame
+    maxima (reference: ``ocr/net.py:190``).
+
+    Beyond-parity: the reference only greedy-decodes CTC output
+    (``ocr/net.py:165-167``).  This is the standard prefix beam search
+    (Hannun et al. 2014) re-shaped for TPU: one ``lax.scan`` over T;
+    per step the W stay-candidates and W*C extend-candidates are
+    deduplicated by a rolling polynomial hash of the prefix via
+    sort + segmented logsumexp (no dynamic dictionaries), then
+    ``top_k`` keeps W.  All shapes static; vmapped over the batch.
+
+    Hash collisions (uint32, P=1000003) would merge two distinct
+    prefixes; with W*C ~ a few hundred candidates over <=26 steps the
+    birthday bound keeps this far below float roundoff concerns.
+    """
+    if blank != 0:
+        raise ValueError("blank must be class 0 (converter convention)")
+    W = int(beam_width)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    def single(lp_seq):  # [T, C]
+        T, C = lp_seq.shape
+        P = jnp.uint32(1000003)
+
+        prefixes = jnp.zeros((W, T), jnp.int32)
+        lengths = jnp.zeros((W,), jnp.int32)
+        # Live beam 0 = empty prefix (hash seed 1); dead beams get
+        # unique junk hashes so they can never merge with live ones.
+        hashes = jnp.where(
+            jnp.arange(W) == 0,
+            jnp.uint32(1),
+            jnp.uint32(0x9E3779B9) * jnp.arange(W, dtype=jnp.uint32)
+            + jnp.uint32(12345),
+        )
+        last = jnp.full((W,), -1, jnp.int32)
+        lp_b = jnp.full((W,), _NEG_INF, jnp.float32).at[0].set(0.0)
+        lp_nb = jnp.full((W,), _NEG_INF, jnp.float32)
+
+        cls = jnp.arange(C)
+
+        def step(state, lp_t):
+            prefixes, lengths, hashes, last, lp_b, lp_nb = state
+            total = _logsumexp2(lp_b, lp_nb)  # [W]
+
+            # Stay candidates: prefix unchanged.  Ends-blank from any
+            # path + blank; ends-nonblank from repeat-collapse of the
+            # prefix's own last char (empty prefix has none).
+            stay_b = total + lp_t[blank]
+            stay_nb = jnp.where(
+                last >= 0,
+                lp_nb + lp_t[jnp.maximum(last, 0)],
+                _NEG_INF,
+            )
+
+            # Extend candidates: prefix + c (c != blank), ends
+            # nonblank.  Extending with the same char as ``last``
+            # requires an intervening blank, so only lp_b feeds it.
+            base = jnp.where(
+                cls[None, :] == last[:, None], lp_b[:, None], total[:, None]
+            )
+            ext = base + lp_t[None, :]  # [W, C]
+            ext = jnp.where(cls[None, :] == blank, _NEG_INF, ext)
+
+            # Flatten candidates: W stays then W*C extends.
+            cand_hash = jnp.concatenate(
+                [
+                    hashes,
+                    (
+                        hashes[:, None] * P
+                        + cls[None, :].astype(jnp.uint32)
+                        + jnp.uint32(1)
+                    ).reshape(-1),
+                ]
+            )
+            cand_lpb = jnp.concatenate(
+                [stay_b, jnp.full((W * C,), _NEG_INF, jnp.float32)]
+            )
+            cand_lpnb = jnp.concatenate([stay_nb, ext.reshape(-1)])
+            cand_parent = jnp.concatenate(
+                [jnp.arange(W), jnp.repeat(jnp.arange(W), C)]
+            )
+            cand_char = jnp.concatenate(
+                [jnp.full((W,), -1, jnp.int32), jnp.tile(cls, W)]
+            )
+            N = W + W * C
+
+            # Lexsort (hash asc, total desc): equal-prefix candidates
+            # become adjacent with the strongest first.
+            cand_total = _logsumexp2(cand_lpb, cand_lpnb)
+            o1 = jnp.argsort(-cand_total)
+            h1 = cand_hash[o1]
+            perm = o1[jnp.argsort(h1, stable=True)]
+            h_s = cand_hash[perm]
+            lpb_s = cand_lpb[perm]
+            lpnb_s = cand_lpnb[perm]
+
+            startseg = jnp.concatenate(
+                [jnp.array([True]), h_s[1:] != h_s[:-1]]
+            )
+            seg = jnp.cumsum(startseg) - 1  # [N]
+
+            def seg_lse(vals):
+                m = jax.ops.segment_max(vals, seg, num_segments=N)
+                m_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
+                s = jax.ops.segment_sum(
+                    jnp.exp(vals - m_safe[seg]), seg, num_segments=N
+                )
+                return jnp.where(
+                    (m > 0.5 * _NEG_INF) & (s > 0),
+                    m_safe + jnp.log(jnp.maximum(s, 1e-38)),
+                    _NEG_INF,
+                )
+
+            lpb_seg = seg_lse(lpb_s)
+            lpnb_seg = seg_lse(lpnb_s)
+            score_rep = jnp.where(
+                startseg,
+                _logsumexp2(lpb_seg[seg], lpnb_seg[seg]),
+                _NEG_INF,
+            )
+            _, top_pos = jax.lax.top_k(score_rep, W)
+
+            # With fewer live segments than W, top_k pads with
+            # non-representative positions — those must become DEAD
+            # slots, not duplicates of the live segment they point
+            # into (a duplicate would double-count that prefix's
+            # probability mass on every later step).
+            sel_ok = startseg[top_pos]
+            par = cand_parent[perm][top_pos]
+            ch = cand_char[perm][top_pos]
+            new_hash = jnp.where(
+                sel_ok,
+                h_s[top_pos],
+                jnp.uint32(0x85EBCA6B)
+                * jnp.arange(W, dtype=jnp.uint32)
+                + jnp.uint32(0xC2B2AE35),
+            )
+            new_lp_b = jnp.where(
+                sel_ok, lpb_seg[seg[top_pos]], _NEG_INF
+            )
+            new_lp_nb = jnp.where(
+                sel_ok, lpnb_seg[seg[top_pos]], _NEG_INF
+            )
+
+            extm = ch >= 0
+            base_pref = prefixes[par]  # [W, T]
+            pos = lengths[par]
+            write = (jnp.arange(T)[None, :] == pos[:, None]) & extm[:, None]
+            new_pref = jnp.where(write, ch[:, None], base_pref)
+            new_len = pos + extm.astype(jnp.int32)
+            new_last = jnp.where(extm, ch, last[par])
+
+            return (
+                new_pref,
+                new_len,
+                new_hash,
+                new_last,
+                new_lp_b,
+                new_lp_nb,
+            ), None
+
+        state = (prefixes, lengths, hashes, last, lp_b, lp_nb)
+        state, _ = jax.lax.scan(step, state, lp_seq)
+        prefixes, lengths, _, _, lp_b, lp_nb = state
+        score = _logsumexp2(lp_b, lp_nb)
+        order = jnp.argsort(-score)
+        return prefixes[order], lengths[order], score[order]
+
+    return jax.vmap(single)(logp)
+
+
 def cross_entropy_ignore_index(
     logits: jax.Array,
     targets: jax.Array,
@@ -155,5 +337,6 @@ __all__ = [
     "ctc_loss",
     "ctc_forward_logprob",
     "ctc_greedy_decode",
+    "ctc_beam_search_decode",
     "cross_entropy_ignore_index",
 ]

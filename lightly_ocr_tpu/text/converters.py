@@ -107,6 +107,29 @@ class CTCLabelConverter:
             np.full((batch_indices.shape[0],), batch_indices.shape[1]),
         )
 
+    def decode_labels(self, batch_labels, lengths=None) -> list[str]:
+        """Decode FINAL label sequences (already blank-free and
+        repeat-resolved — e.g. ``ctc_beam_search_decode`` output, which
+        may legitimately contain doubled letters).  No CTC collapsing:
+        ``decode``/``decode_padded`` would eat genuine repeats here.
+        [B, T] (blank-padded) -> list of strings; ``lengths`` optional
+        (otherwise stops at the first blank)."""
+        batch_labels = np.asarray(batch_labels)
+        out = []
+        for i, row in enumerate(batch_labels):
+            if lengths is not None:
+                row = row[: int(np.asarray(lengths).reshape(-1)[i])]
+            chars = []
+            for idx in row:
+                idx = int(idx)
+                if idx == 0:
+                    if lengths is None:
+                        break
+                    continue
+                chars.append(self.character[idx])
+            out.append("".join(chars))
+        return out
+
 
 class AttnLabelConverter:
     """Maps text <-> indices for the attention decoder ([GO]/[s] tokens)."""

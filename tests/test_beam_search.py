@@ -1,0 +1,165 @@
+"""CTC prefix beam search (ops/ctc.py ctc_beam_search_decode).
+
+Beyond-parity: the reference only greedy-decodes CTC output
+(``ocr/net.py:165-167``).  Gates here:
+
+* EXACTNESS on a small alphabet: with beam_width >= the number of
+  distinct collapsed strings, no pruning can occur, so the top beam
+  must equal the exact posterior argmax computed by brute-force
+  enumeration of all C^T alignment paths, and its score must equal
+  the exact log posterior.
+* DOMINANCE at production shapes: the beam's top sequence posterior
+  (scored independently by ``ctc_forward_logprob``) is never below the
+  greedy sequence's posterior.
+* Engine wiring: ``Config(ctc_decode="beam")`` decodes through
+  ``decode_labels`` (no double-collapse of genuine repeats).
+"""
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightly_ocr_tpu.ops.ctc import (
+    ctc_beam_search_decode,
+    ctc_forward_logprob,
+    ctc_greedy_decode,
+)
+from lightly_ocr_tpu.text.converters import CTCLabelConverter
+
+
+def _brute_force_posteriors(logp: np.ndarray) -> dict[tuple, float]:
+    """Exact log P(collapsed string) by enumerating all C^T paths."""
+    T, C = logp.shape
+    out: dict[tuple, float] = {}
+    for path in itertools.product(range(C), repeat=T):
+        lp = float(sum(logp[t, c] for t, c in enumerate(path)))
+        collapsed = []
+        prev = -1
+        for c in path:
+            if c != 0 and c != prev:
+                collapsed.append(c)
+            prev = c
+        key = tuple(collapsed)
+        out[key] = float(np.logaddexp(out.get(key, -np.inf), lp))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_beam_search_exact_small_alphabet(seed):
+    T, C = 4, 3  # <= 1 + 2 + 4 + 8 + 16 = 31 distinct strings
+    rng = np.random.default_rng(seed)
+    logits = rng.standard_normal((1, T, C)).astype(np.float32) * 2.0
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)[0]
+
+    exact = _brute_force_posteriors(np.asarray(logp))
+    best = max(exact, key=exact.get)
+
+    labels, lengths, scores = jax.jit(
+        lambda x: ctc_beam_search_decode(x, beam_width=32)
+    )(jnp.asarray(logits))
+    got = tuple(int(v) for v in np.asarray(labels[0, 0])[: int(lengths[0, 0])])
+
+    assert got == best, (got, best)
+    np.testing.assert_allclose(
+        float(scores[0, 0]), exact[best], rtol=0, atol=1e-4
+    )
+    # the full beam set is ordered and scored consistently
+    s = np.asarray(scores[0])
+    live = s > -1e29
+    assert np.all(np.diff(s[live]) <= 1e-6)
+    for w in range(int(live.sum())):
+        key = tuple(
+            int(v) for v in np.asarray(labels[0, w])[: int(lengths[0, w])]
+        )
+        assert key in exact
+        np.testing.assert_allclose(s[w], exact[key], atol=1e-4)
+
+
+def test_beam_dominates_greedy_production_shapes():
+    B, T, C = 8, 26, 38
+    rng = np.random.default_rng(7)
+    # sharpened logits: a realistic peaked recognizer posterior (under
+    # near-uniform noise the W=8 beam prunes so hard that neither
+    # dominance nor score tightness is a guaranteed property)
+    logits = jnp.asarray(
+        4.0 * rng.standard_normal((B, T, C)).astype(np.float32)
+    )
+    logp = jax.nn.log_softmax(logits, axis=-1)
+
+    g_idx, g_len = ctc_greedy_decode(logits)
+    labels, lengths, scores = ctc_beam_search_decode(logits, beam_width=8)
+
+    T_in = jnp.full((B,), T)
+    greedy_lp = ctc_forward_logprob(logp, g_idx, T_in, g_len)
+    beam_lp = ctc_forward_logprob(logp, labels[:, 0], T_in, lengths[:, 0])
+
+    # invariant for ANY pruning: the beam's accumulated score only
+    # counts alignments that survived in-beam, so it lower-bounds the
+    # exact posterior of its sequence
+    assert np.all(np.asarray(scores[:, 0]) <= np.asarray(beam_lp) + 1e-3)
+    # on peaked posteriors the bound is tight and the beam's choice is
+    # at least as good as greedy best-path decoding
+    np.testing.assert_allclose(
+        np.asarray(scores[:, 0]), np.asarray(beam_lp), atol=0.25
+    )
+    assert np.all(np.asarray(beam_lp) >= np.asarray(greedy_lp) - 1e-4)
+
+
+def test_beam_engine_wiring_decode_labels():
+    conv = CTCLabelConverter("0123456789abcdefghijklmnopqrstuvwxyz")
+    # 'aa' survives decode_labels but would collapse to 'a' under the
+    # greedy decode path
+    a = conv.dict["a"]
+    labels = np.array([[a, a, 0, 0], [a, 0, 0, 0]], np.int32)
+    assert conv.decode_labels(labels) == ["aa", "a"]
+    assert conv.decode_labels(labels, lengths=[2, 1]) == ["aa", "a"]
+
+    from lightly_ocr_tpu.config import Config
+    from lightly_ocr_tpu.engines import CRNN
+
+    cfg = Config(
+        prediction="CTC", transform="None", sequence="biLSTM",
+        ctc_decode="beam", beam_width=4,
+    )
+    rec = CRNN(cfg, dtype=jnp.float32)
+    crops = jnp.asarray(
+        np.random.default_rng(0)
+        .standard_normal((3, cfg.height, cfg.width, 1))
+        .astype(np.float32)
+    )
+    texts, conf = rec.recognize_crops(crops)
+    assert len(texts) == 3
+    assert conf.shape == (3,)
+    # posterior confidences are probabilities
+    assert np.all(conf >= 0) and np.all(conf <= 1 + 1e-6)
+    for t in texts:
+        assert all(ch in cfg.character for ch in t)
+
+
+def test_beam_empty_and_repeat_cases():
+    # logits overwhelmingly blank -> empty string wins
+    T, C = 6, 4
+    logits = np.full((1, T, C), -8.0, np.float32)
+    logits[:, :, 0] = 8.0
+    labels, lengths, scores = ctc_beam_search_decode(
+        jnp.asarray(logits), beam_width=8
+    )
+    assert int(lengths[0, 0]) == 0
+    assert float(scores[0, 0]) > -1e-3  # P(empty) ~ 1
+
+    # a-blank-a pattern -> 'aa' (genuine repeat via separating blank)
+    logits = np.full((1, 5, 4), -8.0, np.float32)
+    logits[0, 0, 1] = 8.0
+    logits[0, 1, 1] = 8.0
+    logits[0, 2, 0] = 8.0
+    logits[0, 3, 1] = 8.0
+    logits[0, 4, 0] = 8.0
+    labels, lengths, _ = ctc_beam_search_decode(
+        jnp.asarray(logits), beam_width=8
+    )
+    got = [int(v) for v in np.asarray(labels[0, 0])[: int(lengths[0, 0])]]
+    assert got == [1, 1]
