@@ -28,6 +28,12 @@ executable cache (``.aotcache/``, see ``utils/aotcache.py``) in
 seconds; only an unwarmed cache pays the tunnel's 10-40 min remote
 compile.  ``LIGHTLY_OCR_BENCH_BUDGET_S`` (default 3000) bounds total
 wall time: after warmup the timed window is sized to what fits.
+
+CACHE-KEY WARNING: editing THIS FILE (even a comment) shifts the
+Mosaic location table embedded in the lowered program and re-keys the
+AOT cache — after any edit here or in the serving/model/Pallas files,
+re-run ``python bench.py`` once (cold) and commit the fresh ``.jexe``
+so the driver's run stays warm.  Details: utils/aotcache.py docstring.
 """
 from __future__ import annotations
 
@@ -125,8 +131,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16, help="receipts per dispatch")
     p.add_argument("--boxes", type=int, default=32, help="word boxes per receipt")
-    p.add_argument("--dispatches", type=int, default=16,
-                   help="timed dispatches in the steady-state window")
+    p.add_argument("--dispatches", type=int, default=96,
+                   help="timed dispatches in the steady-state window. "
+                        "96 x batch-16 ~ 10 s of steady state: long "
+                        "enough that the recorded number is not a "
+                        "2-second snapshot of tunnel luck (the budget "
+                        "guard below shrinks it when the compile ate "
+                        "the window)")
     p.add_argument("--depth", type=int, default=3,
                    help="dispatches kept in flight (pipelining).  3 is "
                         "the measured sweet spot on the axon tunnel: "

@@ -30,9 +30,15 @@ file: lowering the identical program from a different entry script
 table and therefore a different key.  Verified empirically: byte-level
 diff of two lowerings differed ONLY inside one ``tpu_custom_call``'s
 ``backend_config``, while ``python bench.py`` re-keys identically
-run-to-run and hits its committed entry.  So: judge cache warmness
-ONLY by running ``python bench.py`` itself — an ad-hoc key probe from
-another script will report a phantom miss.
+run-to-run and hits its committed entry.  Operational rules:
+
+* judge cache warmness ONLY by running ``python bench.py`` itself —
+  an ad-hoc key probe from another script reports a phantom miss;
+* editing ANY file on the trace path — ``bench.py`` included, even a
+  help-string — shifts line numbers and re-keys the program, exactly
+  like editing a ``ops/pallas_*.py`` file.  After such an edit,
+  re-run ``python bench.py`` once (cold, ~25 min) and commit the
+  fresh ``.jexe``.
 
 Controls:
 * ``LIGHTLY_OCR_AOT_CACHE=<dir>`` — cache directory (default:
