@@ -280,6 +280,22 @@ class BatchedOCR:
             # 5) recognize all B*M crops in one dispatch
             preds = rec_net.apply(rec_vars, crops, None, False)
             preds = preds.astype(jnp.float32)
+            if is_ctc and cfg.ctc_decode == "beam":
+                # on-device prefix beam search: pred_idx becomes the
+                # FINAL label sequence (host decode skips collapsing)
+                # and confidence the true sequence posterior
+                from lightly_ocr_tpu.ops.ctc import ctc_beam_search_decode
+
+                labels, _, scores = ctc_beam_search_decode(
+                    preds, beam_width=cfg.beam_width
+                )
+                B = tmaps.shape[0]
+                return {
+                    "rects": rects,
+                    "valid": valid,
+                    "pred_idx": labels[:, 0].reshape(B, M, -1),
+                    "confidence": jnp.exp(scores[:, 0]).reshape(B, M),
+                }
             probs = jax.nn.softmax(preds, axis=2)
             max_probs = jnp.max(probs, axis=2)
             idx = jnp.argmax(preds, axis=2)
@@ -519,13 +535,21 @@ class BatchedOCR:
         rects = np.asarray(host["rects"])
         B, M, T = idx.shape
         if self.cfg.prediction == "CTC":
-            # collapse repeats then drop blanks: keep positions that are
-            # non-blank AND differ from the previous step's index; the
-            # join below reuses this block-level char lookup
-            prev = np.concatenate(
-                [np.full((B, M, 1), -1, idx.dtype), idx[..., :-1]], axis=-1
-            )
-            keep = (idx != 0) & (idx != prev)
+            if self.cfg.ctc_decode == "beam":
+                # beam output is already a final label sequence —
+                # only drop the blank padding (re-collapsing would eat
+                # genuine double letters)
+                keep = idx != 0
+            else:
+                # collapse repeats then drop blanks: keep positions
+                # that are non-blank AND differ from the previous
+                # step's index; the join below reuses this block-level
+                # char lookup
+                prev = np.concatenate(
+                    [np.full((B, M, 1), -1, idx.dtype), idx[..., :-1]],
+                    axis=-1,
+                )
+                keep = (idx != 0) & (idx != prev)
             chars = self._chartab[idx]  # [B, M, T] '<U1'
         else:
             chars = np.ascontiguousarray(self._chartab[idx])

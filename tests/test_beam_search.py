@@ -140,6 +140,50 @@ def test_beam_engine_wiring_decode_labels():
         assert all(ch in cfg.character for ch in t)
 
 
+def test_batched_ocr_beam_decode():
+    """The batched serving program honors ctc_decode=beam: same boxes
+    as greedy, confidences are posteriors, and the host decode does not
+    re-collapse the already-final beam labels."""
+    from lightly_ocr_tpu.config import Config
+    from lightly_ocr_tpu.engines import CRAFT, CRNN
+    from lightly_ocr_tpu.serving.batch import BatchedOCR
+
+    cfg = Config(prediction="CTC", transform="None", max_boxes=8,
+                 canvas_size=256, magnify_ratio=1.0)
+    det = CRAFT(cfg, dtype=jnp.float32)
+    rec = CRNN(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    img = rng.integers(200, 256, (120, 160, 3)).astype(np.float32)
+    img[30:44, 20:90] = 10.0
+    img[70:84, 40:120] = 10.0
+
+    maps, ratio = det.score_maps(img)
+    h2 = int(img.shape[0] * ratio) // 2
+    w2 = int(img.shape[1] * ratio) // 2
+    region = np.asarray(maps[:h2, :w2, 0], np.float64)
+    link = np.asarray(maps[:h2, :w2, 1], np.float64)
+    cfg = cfg.replace(
+        low_text=float(np.quantile(region, 0.86)),
+        text_threshold=float(np.quantile(region, 0.93)),
+        link_threshold=float(np.quantile(link, 0.90)),
+    )
+
+    cfg_beam = cfg.replace(ctc_decode="beam", beam_width=4)
+    a = BatchedOCR(cfg, det.variables, rec.variables, boxes_per_image=8,
+                   dtype=jnp.float32)
+    b = BatchedOCR(cfg_beam, det.variables, rec.variables,
+                   boxes_per_image=8, dtype=jnp.float32)
+    ra = a.run_images([img])
+    rb = b.run_images([img])
+    assert ra[0], "no boxes fired — the assertions are vacuous"
+    assert len(ra[0]) == len(rb[0])
+    for ia, ib in zip(ra[0], rb[0]):
+        assert np.allclose(ia["rect"], ib["rect"], atol=1e-3)
+        # beam confidence is a true posterior
+        assert 0.0 <= ib["confidence"] <= 1.0 + 1e-6
+        assert all(ch in cfg.character for ch in ib["text"])
+
+
 def test_beam_empty_and_repeat_cases():
     # logits overwhelmingly blank -> empty string wins
     T, C = 6, 4
