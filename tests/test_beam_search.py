@@ -140,6 +140,7 @@ def test_beam_engine_wiring_decode_labels():
         assert all(ch in cfg.character for ch in t)
 
 
+@pytest.mark.slow  # compiles a full serving program (~2 min on CPU)
 def test_batched_ocr_beam_decode():
     """The batched serving program honors ctc_decode=beam: same boxes
     as greedy, confidences are posteriors, and the host decode does not
