@@ -117,7 +117,13 @@ class Config:
     # the true sequence posterior instead of the per-frame max cumprod.
     # Ignored for prediction="Attention".
     ctc_decode: str = "greedy"  # {"greedy", "beam"}
-    beam_width: int = 8
+    # Attention decoding strategy (beyond-parity: the reference argmax-
+    # feeds only, ocr/modules/attention.py:45-59).  "beam" folds W
+    # beams into the batch dim of the decode scan (models/attention.py
+    # _beam_decode); confidence becomes exp(sum of token log-probs up
+    # to EOS).  Ignored for prediction="CTC".
+    attn_decode: str = "greedy"  # {"greedy", "beam"}
+    beam_width: int = 8  # shared by ctc_decode/attn_decode = "beam"
 
     def __post_init__(self):
         if self.transform not in ("None", "TPS"):
@@ -137,6 +143,10 @@ class Config:
         if self.ctc_decode not in ("greedy", "beam"):
             raise ValueError(
                 f"ctc_decode must be greedy|beam, got {self.ctc_decode!r}"
+            )
+        if self.attn_decode not in ("greedy", "beam"):
+            raise ValueError(
+                f"attn_decode must be greedy|beam, got {self.attn_decode!r}"
             )
         if self.beam_width <= 0:
             raise ValueError("beam_width must be positive")

@@ -260,6 +260,7 @@ class CRNN:
         is_ctc = cfg.prediction == "CTC"
 
         use_beam = is_ctc and cfg.ctc_decode == "beam"
+        use_attn_beam = (not is_ctc) and cfg.attn_decode == "beam"
         beam_width = cfg.beam_width
 
         @jax.jit
@@ -267,7 +268,14 @@ class CRNN:
             """crops [K, H, W, 1] in [-1, 1] -> (indices [K, S],
             confidence [K]).  With ctc_decode="beam" the indices are
             FINAL label sequences from the on-device prefix beam
-            search and confidence is the true sequence posterior."""
+            search and confidence is the true sequence posterior; with
+            attn_decode="beam" they are the best beam's tokens and
+            confidence is exp(sum of token log-probs up to EOS)."""
+            if use_attn_beam:
+                tokens, scores = net.apply(
+                    variables, crops, None, False, beam_width
+                )
+                return tokens[:, 0], jnp.exp(scores[:, 0])
             preds = net.apply(variables, crops, None, False)  # [K, T, C]
             if use_beam:
                 from lightly_ocr_tpu.ops.ctc import ctc_beam_search_decode

@@ -80,6 +80,7 @@ class Attention(nn.Module):
         feats: jax.Array,  # [B, T, n_in] encoder states
         text: jax.Array | None = None,  # [B, >=num_steps] int32 ([GO]-prefixed)
         train: bool = False,
+        beam_width: int | None = None,  # static; inference-only beam search
     ) -> jax.Array:
         B, T, n_in = feats.shape
         cell = AttentionCellParams(
@@ -127,6 +128,12 @@ class Attention(nn.Module):
             hs = jnp.swapaxes(hs, 0, 1)  # [B, S, H]
             return generator(hs)
 
+        if beam_width is not None:
+            return self._beam_decode(
+                feats, feats_proj, cell, generator,
+                (w_ih, w_hh, b_ih, b_hh), int(beam_width),
+            )
+
         def step(carry, _):
             h, c, prev = carry
             onehot = jax.nn.one_hot(prev, self.num_classes, dtype=self.dtype)
@@ -142,3 +149,80 @@ class Attention(nn.Module):
             step, (h0, c0, prev0), None, length=self.num_steps, unroll=13
         )
         return jnp.swapaxes(probs, 0, 1)  # [B, S, C]
+
+    def _beam_decode(self, feats, feats_proj, cell, generator, lstm_w, W):
+        """Beam search over the autoregressive decode (beyond parity —
+        the reference argmax-feeds only, ``attention.py:45-59``).
+
+        Returns ``(tokens [B, W, S] int32, scores [B, W] f32)`` with
+        beams best-first.  ``scores`` = sum of token log-probs up to
+        and including the first EOS ('[s]', index 1): once a beam emits
+        EOS it is frozen — later steps force EOS at zero cost, so
+        ``exp(score)`` is the sequence probability P(y, EOS | image).
+        Unfinished beams accumulate over all ``num_steps`` steps.
+
+        Shape discipline: the W beams fold into the batch dim
+        ([B*W, ...] LSTM/attention states), so the per-step compute is
+        the greedy scan's at W x batch — one program, no host loop.
+        """
+        w_ih, w_hh, b_ih, b_hh = lstm_w
+        B, T, n_in = feats.shape
+        C = self.num_classes
+        S = self.num_steps
+        EOS = 1
+        NEG = -1.0e30
+        if W < 1:
+            raise ValueError(f"beam_width must be >= 1, got {W}")
+        # W > C is fine: surplus slots fill with ~NEG dead beams that
+        # can never outrank a live one.
+
+        featsW = jnp.repeat(feats, W, axis=0)  # [B*W, T, n_in]
+        projW = jnp.repeat(feats_proj, W, axis=0)
+
+        def attend_w(h):  # [B*W, H] -> [B*W, n_in]
+            e = cell.score(jnp.tanh(projW + cell.h2h(h)[:, None, :]))
+            alpha = jax.nn.softmax(e, axis=1)
+            return jnp.sum(alpha * featsW, axis=1)
+
+        bidx = jnp.arange(B)[:, None]
+
+        def step(carry, s):
+            h, c, prev, score, fin, seqs = carry
+            onehot = jax.nn.one_hot(
+                prev.reshape(-1), C, dtype=self.dtype
+            )
+            context = attend_w(h)
+            inp = jnp.concatenate([context, onehot], axis=1)
+            h2, c2 = lstm_cell_step(inp, h, c, w_ih, w_hh, b_ih, b_hh)
+            logits = generator(h2).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, W, C)
+            # finished beams may only emit EOS, at zero cost
+            forced = jnp.where(
+                jnp.arange(C)[None, None, :] == EOS, 0.0, NEG
+            )
+            step_lp = jnp.where(fin[:, :, None], forced, logp)
+            cand = score[:, :, None] + step_lp  # [B, W, C]
+            new_score, pos = jax.lax.top_k(cand.reshape(B, W * C), W)
+            parent = pos // C  # [B, W]
+            tok = pos % C
+            hsel = h2.reshape(B, W, -1)[bidx, parent].reshape(B * W, -1)
+            csel = c2.reshape(B, W, -1)[bidx, parent].reshape(B * W, -1)
+            new_fin = fin[bidx, parent] | (tok == EOS)
+            seqs = seqs[bidx, parent]
+            write = jnp.arange(S)[None, None, :] == s
+            seqs = jnp.where(write, tok[:, :, None], seqs)
+            return (hsel, csel, tok, new_score, new_fin, seqs), None
+
+        H = self.hidden
+        carry0 = (
+            jnp.zeros((B * W, H), self.dtype),
+            jnp.zeros((B * W, H), self.dtype),
+            jnp.zeros((B, W), jnp.int32),  # [GO]
+            jnp.full((B, W), NEG, jnp.float32).at[:, 0].set(0.0),
+            jnp.zeros((B, W), bool),
+            jnp.zeros((B, W, S), jnp.int32),
+        )
+        carry, _ = jax.lax.scan(step, carry0, jnp.arange(S))
+        _, _, _, score, _, seqs = carry
+        # each step's top_k leaves beams score-descending already
+        return seqs, score

@@ -37,6 +37,7 @@ class CRNNet(nn.Module):
         images: jax.Array,  # [B, H, W, C] in [-1, 1]
         text: jax.Array | None = None,  # [B, >=num_steps] for teacher forcing
         train: bool = False,
+        beam_width: int | None = None,  # Attention-only beam decode
     ) -> jax.Array:
         if self.quant and train:
             raise ValueError(
@@ -72,6 +73,12 @@ class CRNNet(nn.Module):
             )(x)
 
         if cfg.prediction == "CTC":
+            if beam_width is not None:
+                raise ValueError(
+                    "beam_width applies to the Attention head only; "
+                    "CTC beam search is ops.ctc.ctc_beam_search_decode "
+                    "over the logits"
+                )
             return nn.Dense(
                 cfg.derived_num_classes, dtype=self.dtype, name="Prediction"
             )(x)
@@ -81,7 +88,7 @@ class CRNNet(nn.Module):
             num_steps=cfg.num_steps,
             dtype=self.dtype,
             name="Prediction",
-        )(x, text, train)
+        )(x, text, train, beam_width)
 
 
 def init_crnn(

@@ -278,6 +278,23 @@ class BatchedOCR:
             crops = crops.reshape(-1, cfg.height, cfg.width, 1)
 
             # 5) recognize all B*M crops in one dispatch
+            if (not is_ctc) and cfg.attn_decode == "beam":
+                # beam-decode the attention head on device: pred_idx is
+                # the best beam's token sequence (EOS-terminated, the
+                # host decode's stop logic applies unchanged) and
+                # confidence its sequence probability
+                tokens, scores = rec_net.apply(
+                    rec_vars, crops, None, False, cfg.beam_width
+                )
+                B = tmaps.shape[0]
+                return {
+                    "rects": rects,
+                    "valid": valid,
+                    "pred_idx": tokens[:, 0].reshape(B, M, -1),
+                    "confidence": jnp.exp(
+                        scores[:, 0].astype(jnp.float32)
+                    ).reshape(B, M),
+                }
             preds = rec_net.apply(rec_vars, crops, None, False)
             preds = preds.astype(jnp.float32)
             if is_ctc and cfg.ctc_decode == "beam":

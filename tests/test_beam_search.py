@@ -141,6 +141,49 @@ def test_beam_engine_wiring_decode_labels():
 
 
 @pytest.mark.slow  # compiles a full serving program (~2 min on CPU)
+def test_batched_ocr_attention_beam_decode():
+    """attn_decode=beam through the batched serving program: same boxes
+    as greedy, confidences are probabilities, text charset-clean."""
+    from lightly_ocr_tpu.config import Config
+    from lightly_ocr_tpu.engines import CRAFT, CRNN
+    from lightly_ocr_tpu.serving.batch import BatchedOCR
+
+    cfg = Config(prediction="Attention", transform="None", max_boxes=8,
+                 canvas_size=256, magnify_ratio=1.0)
+    det = CRAFT(cfg, dtype=jnp.float32)
+    rec = CRNN(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    img = rng.integers(200, 256, (120, 160, 3)).astype(np.float32)
+    img[30:44, 20:90] = 10.0
+    img[70:84, 40:120] = 10.0
+
+    maps, ratio = det.score_maps(img)
+    h2 = int(img.shape[0] * ratio) // 2
+    w2 = int(img.shape[1] * ratio) // 2
+    region = np.asarray(maps[:h2, :w2, 0], np.float64)
+    link = np.asarray(maps[:h2, :w2, 1], np.float64)
+    cfg = cfg.replace(
+        low_text=float(np.quantile(region, 0.86)),
+        text_threshold=float(np.quantile(region, 0.93)),
+        link_threshold=float(np.quantile(link, 0.90)),
+    )
+
+    a = BatchedOCR(cfg, det.variables, rec.variables, boxes_per_image=8,
+                   dtype=jnp.float32)
+    b = BatchedOCR(cfg.replace(attn_decode="beam", beam_width=4),
+                   det.variables, rec.variables, boxes_per_image=8,
+                   dtype=jnp.float32)
+    ra = a.run_images([img])
+    rb = b.run_images([img])
+    assert ra[0], "no boxes fired — the assertions are vacuous"
+    assert len(ra[0]) == len(rb[0])
+    for ia, ib in zip(ra[0], rb[0]):
+        assert np.allclose(ia["rect"], ib["rect"], atol=1e-3)
+        assert 0.0 <= ib["confidence"] <= 1.0 + 1e-6
+        assert all(ch in cfg.character for ch in ib["text"])
+
+
+@pytest.mark.slow  # compiles a full serving program (~2 min on CPU)
 def test_batched_ocr_beam_decode():
     """The batched serving program honors ctc_decode=beam: same boxes
     as greedy, confidences are posteriors, and the host decode does not
@@ -183,6 +226,120 @@ def test_batched_ocr_beam_decode():
         # beam confidence is a true posterior
         assert 0.0 <= ib["confidence"] <= 1.0 + 1e-6
         assert all(ch in cfg.character for ch in ib["text"])
+
+
+def _attn_teacher_scores(module, variables, feats, seq_list):
+    """log P(tokens | feats) for every sequence, in ONE teacher-forced
+    apply: the train-mode scan's logits at step t score token y_{t+1}
+    given prefix y_1..y_t."""
+    S = module.num_steps
+    n = len(seq_list)
+    text = np.zeros((n, S), np.int32)  # [GO, y1, ..., y_{S-1}]
+    for i, toks in enumerate(seq_list):
+        text[i, 1 : len(toks)] = toks[:-1]
+    logits = module.apply(
+        variables, jnp.tile(feats, (n, 1, 1)), jnp.asarray(text), True
+    )
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    return {
+        tuple(toks): float(
+            sum(logp[i, t, toks[t]] for t in range(len(toks)))
+        )
+        for i, toks in enumerate(seq_list)
+    }
+
+
+def test_attention_beam_exact_tiny():
+    """With the beam wide enough that no live prefix is ever pruned,
+    the top beam must be the exact argmax over ALL terminated/full
+    sequences, scored independently by teacher forcing — and every
+    returned beam's internal score must equal its teacher-forced score
+    exactly (the accumulation is exact regardless of pruning)."""
+    from lightly_ocr_tpu.models.attention import Attention
+
+    C, S, T, H = 4, 3, 5, 8  # classes incl. GO=0, EOS=1; 40 sequences
+    module = Attention(hidden=H, num_classes=C, num_steps=S)
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.standard_normal((1, T, H)).astype(np.float32))
+    variables = module.init(
+        jax.random.key(0), feats, jnp.zeros((1, S), jnp.int32), True
+    )
+
+    non_eos = [c for c in range(C) if c != 1]
+    seqs = []
+    for k in range(S):  # k non-EOS tokens then EOS
+        for prefix in itertools.product(non_eos, repeat=k):
+            seqs.append(tuple(prefix) + (1,))
+    seqs += [t for t in itertools.product(non_eos, repeat=S)]  # no EOS
+    exact = _attn_teacher_scores(module, variables, feats, seqs)
+    best = max(exact, key=exact.get)
+
+    tokens, scores = module.apply(
+        module.init(jax.random.key(0), feats, jnp.zeros((1, S), jnp.int32), True),
+        feats, None, False, 48,
+    )
+    tokens, scores = np.asarray(tokens), np.asarray(scores)
+
+    def as_seq(row):
+        out = []
+        for v in row:
+            out.append(int(v))
+            if v == 1:
+                break
+        return tuple(out)
+
+    got = as_seq(tokens[0, 0])
+    assert got == best, (got, best)
+    np.testing.assert_allclose(scores[0, 0], exact[best], atol=1e-4)
+    # every live beam's internal score == its independent score
+    for w in range(tokens.shape[1]):
+        if scores[0, w] < -1e29:
+            continue
+        s = as_seq(tokens[0, w])
+        np.testing.assert_allclose(scores[0, w], exact[s], atol=1e-4)
+    # beams are unique and sorted
+    live = [as_seq(tokens[0, w]) for w in range(tokens.shape[1])
+            if scores[0, w] > -1e29]
+    assert len(set(live)) == len(live)
+    assert np.all(np.diff(scores[0][scores[0] > -1e29]) <= 1e-6)
+
+
+def test_attention_beam_engine_wiring():
+    from lightly_ocr_tpu.config import Config
+    from lightly_ocr_tpu.engines import CRNN
+
+    cfg = Config(prediction="Attention", transform="None",
+                 attn_decode="beam", beam_width=4)
+    rec = CRNN(cfg, dtype=jnp.float32)
+    crops = jnp.asarray(
+        np.random.default_rng(0)
+        .standard_normal((3, cfg.height, cfg.width, 1))
+        .astype(np.float32)
+    )
+    texts, conf = rec.recognize_crops(crops)
+    assert len(texts) == 3 and conf.shape == (3,)
+    assert np.all(conf >= 0) and np.all(conf <= 1 + 1e-6)
+    for t in texts:
+        assert all(ch in cfg.character for ch in t)
+
+    # the greedy trajectory's own logits score the greedy sequence (the
+    # argmax-feedback scan's prev tokens ARE the greedy prefixes); the
+    # beam's best must not lose to it
+    logits = rec.net.apply(rec.variables, crops, None, False)
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    g = np.asarray(np.argmax(logp, axis=-1))
+    tokens, scores = rec.net.apply(
+        rec.variables, crops, None, False, cfg.beam_width
+    )
+    for k in range(3):
+        stop = np.nonzero(g[k] == 1)[0]
+        upto = int(stop[0]) + 1 if len(stop) else cfg.num_steps
+        g_score = float(
+            sum(logp[k, t, g[k, t]] for t in range(upto))
+        )
+        assert float(scores[k, 0]) >= g_score - 1e-3, (
+            float(scores[k, 0]), g_score,
+        )
 
 
 def test_beam_empty_and_repeat_cases():
