@@ -291,6 +291,14 @@ def main(argv=None) -> int:
                              "typed explicitly")
     parser.add_argument("--bf16", dest="int8", action="store_false",
                         help="disable int8: float backbone convs")
+    parser.add_argument("--decode", choices=["greedy", "beam"],
+                        default=None,
+                        help="decoding strategy for the active "
+                             "prediction head (sets ctc_decode or "
+                             "attn_decode; greedy is the parity "
+                             "default, beam returns true sequence "
+                             "posteriors as confidences)")
+    parser.add_argument("--beam-width", type=int, default=None)
     opt = parser.parse_args(argv)
     from dataclasses import replace
 
@@ -301,6 +309,11 @@ def main(argv=None) -> int:
         cfg = replace(cfg, quant_int8=opt.int8)  # explicit flag wins
     elif opt.config is None:
         cfg = replace(cfg, quant_int8=True)  # no config: int8 default
+    if opt.decode is not None:
+        key = "ctc_decode" if cfg.prediction == "CTC" else "attn_decode"
+        cfg = replace(cfg, **{key: opt.decode})
+    if opt.beam_width is not None:
+        cfg = replace(cfg, beam_width=opt.beam_width)
     run_server(opt.host, opt.port, opt.config, opt.thresh, config=cfg,
                batched=opt.batched)
     return 0
