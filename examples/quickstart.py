@@ -55,6 +55,13 @@ def main() -> int:
 
     res = getText(path, model.detector, model.recognizer)
     print("getText ->", dict(list(res.items())[:3]))
+
+    # 5) beam-search decoding (beyond parity; greedy is the default).
+    # Attention head: attn_decode="beam"; CTC head: ctc_decode="beam",
+    # optionally with a [C, C] shallow-fusion transition prior:
+    #   cfg = Config(prediction="CTC", ctc_decode="beam", beam_width=8)
+    #   rec = CRNN(cfg); texts, posteriors = rec.recognize_crops(crops)
+    # see tests/test_beam_search.py and ops/ctc.py for the contracts.
     return 0
 
 

@@ -142,6 +142,7 @@ def ctc_beam_search_decode(
     logits: jax.Array,
     beam_width: int = 8,
     blank: int = 0,
+    lm: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """CTC prefix beam search, fully on device (static shapes).
 
@@ -163,11 +164,24 @@ def ctc_beam_search_decode(
     Hash collisions (uint32, P=1000003) would merge two distinct
     prefixes; with W*C ~ a few hundred candidates over <=26 steps the
     birthday bound keeps this far below float roundoff concerns.
+
+    ``lm`` (optional): shallow-fusion character-transition log-prior,
+    shape [C, C]; ``lm[p, c]`` is added once when a prefix whose last
+    label is ``p`` extends with label ``c`` (row 0 = beginning-of-word:
+    blank never occurs inside a prefix, and the empty prefix maps to
+    row 0).  Fold any fusion weight into the matrix.  With a prior the
+    returned scores are FUSED scores (acoustic + prior), not pure
+    posteriors — pass e.g. a digit-heavy receipt prior here.
     """
     if blank != 0:
         raise ValueError("blank must be class 0 (converter convention)")
     W = int(beam_width)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if lm is not None:
+        C = logits.shape[-1]
+        lm = jnp.asarray(lm, jnp.float32)
+        if lm.shape != (C, C):
+            raise ValueError(f"lm must be [C, C] = {(C, C)}, got {lm.shape}")
 
     def single(lp_seq):  # [T, C]
         T, C = lp_seq.shape
@@ -210,6 +224,10 @@ def ctc_beam_search_decode(
                 cls[None, :] == last[:, None], lp_b[:, None], total[:, None]
             )
             ext = base + lp_t[None, :]  # [W, C]
+            if lm is not None:
+                # shallow fusion: transition prior paid once per
+                # extension (stay candidates add no new char)
+                ext = ext + lm[jnp.maximum(last, 0)]
             ext = jnp.where(cls[None, :] == blank, _NEG_INF, ext)
 
             # Flatten candidates: W stays then W*C extends.

@@ -228,6 +228,40 @@ def test_batched_ocr_beam_decode():
         assert all(ch in cfg.character for ch in ib["text"])
 
 
+def test_beam_lm_shallow_fusion():
+    """lm=0 is a no-op; a random transition prior shifts the result to
+    the exact fused argmax (CTC posterior + once-per-extension prior)."""
+    T, C = 4, 3
+    rng = np.random.default_rng(11)
+    logits = rng.standard_normal((1, T, C)).astype(np.float32) * 2.0
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)[0]
+
+    l0, n0, s0 = ctc_beam_search_decode(jnp.asarray(logits), beam_width=32)
+    lz, nz, sz = ctc_beam_search_decode(
+        jnp.asarray(logits), beam_width=32, lm=jnp.zeros((C, C))
+    )
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(lz))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(sz), atol=1e-5)
+
+    lm = rng.standard_normal((C, C)).astype(np.float32) * 1.5
+    exact = _brute_force_posteriors(np.asarray(logp))
+    fused = {}
+    for key, lp in exact.items():
+        prior, prev = 0.0, 0
+        for c in key:
+            prior += float(lm[prev, c])
+            prev = c
+        fused[key] = lp + prior
+    best = max(fused, key=fused.get)
+
+    labels, lengths, scores = ctc_beam_search_decode(
+        jnp.asarray(logits), beam_width=32, lm=jnp.asarray(lm)
+    )
+    got = tuple(int(v) for v in np.asarray(labels[0, 0])[: int(lengths[0, 0])])
+    assert got == best, (got, best)
+    np.testing.assert_allclose(float(scores[0, 0]), fused[best], atol=1e-4)
+
+
 def _attn_teacher_scores(module, variables, feats, seq_list):
     """log P(tokens | feats) for every sequence, in ONE teacher-forced
     apply: the train-mode scan's logits at step t score token y_{t+1}
