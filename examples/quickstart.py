@@ -58,10 +58,12 @@ def main() -> int:
 
     # 5) beam-search decoding (beyond parity; greedy is the default).
     # Attention head: attn_decode="beam"; CTC head: ctc_decode="beam",
-    # optionally with a [C, C] shallow-fusion transition prior:
-    #   cfg = Config(prediction="CTC", ctc_decode="beam", beam_width=8)
+    # optionally with a [C, C] shallow-fusion transition log-prior
+    # saved as .npy and named by ctc_lm_path (server: --lm PRIOR_NPY):
+    #   cfg = Config(prediction="CTC", ctc_decode="beam", beam_width=8,
+    #                ctc_lm_path="receipt_prior.npy")
     #   rec = CRNN(cfg); texts, posteriors = rec.recognize_crops(crops)
-    # see tests/test_beam_search.py and ops/ctc.py for the contracts.
+    # see tests/test_beam_search.py, ops/ctc.py and models/decode.py.
     return 0
 
 

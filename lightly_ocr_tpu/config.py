@@ -124,6 +124,12 @@ class Config:
     # to EOS).  Ignored for prediction="CTC".
     attn_decode: str = "greedy"  # {"greedy", "beam"}
     beam_width: int = 8  # shared by ctc_decode/attn_decode = "beam"
+    # Optional shallow-fusion LM for ctc_decode="beam": path to a .npy
+    # [C, C] float array of transition log-priors (C = derived_num_
+    # classes; lm[p, c] is added when a prefix ending in label p
+    # extends with label c; row 0 = word start).  Fold any fusion
+    # weight into the values.  Empty = no prior.
+    ctc_lm_path: str = ""
 
     def __post_init__(self):
         if self.transform not in ("None", "TPS"):

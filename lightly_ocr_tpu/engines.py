@@ -255,51 +255,19 @@ class CRNN:
 
     @functools.cached_property
     def _recognize(self):
+        from lightly_ocr_tpu.models.decode import decode_crops, load_lm_prior
+
         cfg = self.cfg
         net = self.net
-        is_ctc = cfg.prediction == "CTC"
-
-        use_beam = is_ctc and cfg.ctc_decode == "beam"
-        use_attn_beam = (not is_ctc) and cfg.attn_decode == "beam"
-        beam_width = cfg.beam_width
+        lm = load_lm_prior(cfg)
 
         @jax.jit
         def recognize(variables, crops):
             """crops [K, H, W, 1] in [-1, 1] -> (indices [K, S],
-            confidence [K]).  With ctc_decode="beam" the indices are
-            FINAL label sequences from the on-device prefix beam
-            search and confidence is the true sequence posterior; with
-            attn_decode="beam" they are the best beam's tokens and
-            confidence is exp(sum of token log-probs up to EOS)."""
-            if use_attn_beam:
-                tokens, scores = net.apply(
-                    variables, crops, None, False, beam_width
-                )
-                return tokens[:, 0], jnp.exp(scores[:, 0])
-            preds = net.apply(variables, crops, None, False)  # [K, T, C]
-            if use_beam:
-                from lightly_ocr_tpu.ops.ctc import ctc_beam_search_decode
-
-                labels, _, scores = ctc_beam_search_decode(
-                    preds, beam_width=beam_width
-                )
-                return labels[:, 0], jnp.exp(scores[:, 0])
-            probs = jax.nn.softmax(preds, axis=2)
-            max_probs = jnp.max(probs, axis=2)  # [K, T]
-            idx = jnp.argmax(preds, axis=2)  # [K, T]
-            if is_ctc:
-                conf = jnp.prod(max_probs, axis=1)
-            else:
-                # truncate at the first EOS (index 1): product of steps
-                # strictly before it (net.py:183-190)
-                eos = idx == 1
-                before_eos = jnp.cumsum(eos, axis=1) == 0
-                conf = jnp.prod(
-                    jnp.where(before_eos, max_probs, 1.0), axis=1
-                )
-                has_eos = jnp.any(eos, axis=1)
-                conf = jnp.where(has_eos, conf, 0.0)
-            return idx, conf
+            confidence [K]) per cfg's decode mode — the shared
+            ``models/decode.py`` implementation (same semantics as the
+            batched serving program by construction)."""
+            return decode_crops(net, variables, crops, cfg, lm)
 
         return recognize
 

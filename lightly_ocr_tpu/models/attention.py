@@ -157,9 +157,16 @@ class Attention(nn.Module):
         Returns ``(tokens [B, W, S] int32, scores [B, W] f32)`` with
         beams best-first.  ``scores`` = sum of token log-probs up to
         and including the first EOS ('[s]', index 1): once a beam emits
-        EOS it is frozen — later steps force EOS at zero cost, so
-        ``exp(score)`` is the sequence probability P(y, EOS | image).
-        Unfinished beams accumulate over all ``num_steps`` steps.
+        EOS it is frozen — later steps force EOS at zero cost.  The
+        LAST step forces EOS on every still-live beam at its TRUE
+        log-prob, so every returned beam is a terminated sequence and
+        ``exp(score)`` is always the sequence probability
+        P(y, EOS | image).  (Without that, a decoder stuck confidently
+        repeating a token would return a 26-token prefix that never
+        paid the EOS cost — outranking genuinely-better terminated
+        beams and carrying a score that is not a sequence probability.
+        The greedy path's contract zeroes confidence when EOS never
+        appears; this is the beam-path equivalent.)
 
         Shape discipline: the W beams fold into the batch dim
         ([B*W, ...] LSTM/attention states), so the per-step compute is
@@ -201,6 +208,12 @@ class Attention(nn.Module):
                 jnp.arange(C)[None, None, :] == EOS, 0.0, NEG
             )
             step_lp = jnp.where(fin[:, :, None], forced, logp)
+            # final step: live beams must terminate, paying their true
+            # EOS log-prob (finished beams already emit EOS free)
+            eos_mask = jnp.where(
+                jnp.arange(C)[None, None, :] == EOS, 0.0, NEG
+            )
+            step_lp = jnp.where(s == S - 1, step_lp + eos_mask, step_lp)
             cand = score[:, :, None] + step_lp  # [B, W, C]
             new_score, pos = jax.lax.top_k(cand.reshape(B, W * C), W)
             parent = pos // C  # [B, W]

@@ -1,0 +1,109 @@
+"""Shared prediction-head decoding: crops/logits -> (indices, confidence).
+
+ONE implementation of the three decode modes — greedy, on-device CTC
+prefix beam search, attention beam search — used by BOTH the per-image
+engine (``engines.CRNN``) and the batched serving program
+(``serving/batch.BatchedOCR``).  Before this module the two call sites
+hand-rolled the same branches and could silently diverge on a semantics
+fix (e.g. the beam EOS-termination contract).
+
+All functions here are jit-traceable; the host-side string decode stays
+with the label converters (``text/converters.py``).
+
+Greedy semantics mirror the reference (``ocr/net.py:174-193``):
+* CTC: per-frame argmax indices (collapsed later on host by
+  ``decode_padded``), confidence = cumprod of per-frame max softmax;
+* Attention: argmax tokens, confidence = product of per-step maxima up
+  to (excluding) the first EOS, zeroed if EOS never appears.
+
+Beam semantics (beyond parity — the reference only greedy-decodes):
+* CTC: ``ops/ctc.py ctc_beam_search_decode`` — indices are FINAL label
+  sequences (host must NOT re-collapse), confidence = true sequence
+  posterior; an optional [C, C] shallow-fusion log-prior (``lm``) is
+  added per extension;
+* Attention: ``models/attention.py _beam_decode`` — every beam is
+  EOS-terminated, confidence = exp(sequence log-prob incl. EOS).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightly_ocr_tpu.config import Config
+
+
+def load_lm_prior(cfg: Config) -> jax.Array | None:
+    """Load the shallow-fusion transition prior named by
+    ``cfg.ctc_lm_path`` (a ``.npy`` [C, C] float array of log-priors,
+    C = ``cfg.derived_num_classes``; fold any fusion weight into the
+    values).  Empty path -> None (no prior).  Only meaningful for
+    ``prediction="CTC"`` + ``ctc_decode="beam"``."""
+    if not cfg.ctc_lm_path:
+        return None
+    if cfg.prediction != "CTC" or cfg.ctc_decode != "beam":
+        raise ValueError(
+            "ctc_lm_path is only used with prediction='CTC' and "
+            f"ctc_decode='beam' (got prediction={cfg.prediction!r}, "
+            f"ctc_decode={cfg.ctc_decode!r})"
+        )
+    arr = np.load(os.path.expanduser(cfg.ctc_lm_path))
+    C = cfg.derived_num_classes
+    if arr.shape != (C, C):
+        raise ValueError(
+            f"LM prior at {cfg.ctc_lm_path!r} must be [C, C] = {(C, C)}, "
+            f"got {arr.shape}"
+        )
+    return jnp.asarray(arr, jnp.float32)
+
+
+def decode_preds(
+    preds: jax.Array, cfg: Config, lm: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """[K, T, C] prediction-head logits -> (idx [K, T] int32,
+    confidence [K] f32) per ``cfg``'s decode mode.  Traceable."""
+    preds = preds.astype(jnp.float32)
+    if cfg.prediction == "CTC" and cfg.ctc_decode == "beam":
+        from lightly_ocr_tpu.ops.ctc import ctc_beam_search_decode
+
+        labels, _, scores = ctc_beam_search_decode(
+            preds, beam_width=cfg.beam_width, lm=lm
+        )
+        return labels[:, 0], jnp.exp(scores[:, 0])
+    probs = jax.nn.softmax(preds, axis=2)
+    max_probs = jnp.max(probs, axis=2)  # [K, T]
+    idx = jnp.argmax(preds, axis=2)  # [K, T]
+    if cfg.prediction == "CTC":
+        conf = jnp.prod(max_probs, axis=1)
+    else:
+        # truncate at the first EOS (index 1): product of steps strictly
+        # before it; no EOS at all -> confidence 0 (net.py:183-190)
+        eos = idx == 1
+        before_eos = jnp.cumsum(eos, axis=1) == 0
+        conf = jnp.prod(jnp.where(before_eos, max_probs, 1.0), axis=1)
+        conf = jnp.where(jnp.any(eos, axis=1), conf, 0.0)
+    return idx, conf
+
+
+def decode_crops(
+    net,
+    variables,
+    crops: jax.Array,
+    cfg: Config,
+    lm: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """[K, H, W, 1] normalized crops -> (idx [K, S] int32,
+    confidence [K] f32), running the recognizer net and decoding per
+    ``cfg``.  Traceable; call under jit with ``cfg``/``lm`` closed over."""
+    if cfg.prediction != "CTC" and cfg.attn_decode == "beam":
+        tokens, scores = net.apply(
+            variables, crops, None, False, cfg.beam_width
+        )
+        return tokens[:, 0], jnp.exp(scores[:, 0].astype(jnp.float32))
+    preds = net.apply(variables, crops, None, False)  # [K, T, C]
+    return decode_preds(preds, cfg, lm)
+
+
+__all__ = ["load_lm_prior", "decode_preds", "decode_crops"]

@@ -161,9 +161,13 @@ def ctc_beam_search_decode(
     sort + segmented logsumexp (no dynamic dictionaries), then
     ``top_k`` keeps W.  All shapes static; vmapped over the batch.
 
-    Hash collisions (uint32, P=1000003) would merge two distinct
-    prefixes; with W*C ~ a few hundred candidates over <=26 steps the
-    birthday bound keeps this far below float roundoff concerns.
+    Prefix identity is a PAIR of independent 32-bit rolling hashes
+    (P=1000003 / P=1000033, distinct seeds) carried as two sort keys —
+    effectively one 64-bit hash.  A single uint32 key is not enough:
+    with ~300 live candidates/step over 26 steps the pairwise birthday
+    bound is ~1e-4 per crop, i.e. a spurious prefix merge every couple
+    of seconds at production crop rates.  At 64 bits the bound drops
+    to ~1e-14 per crop.
 
     ``lm`` (optional): shallow-fusion character-transition log-prior,
     shape [C, C]; ``lm[p, c]`` is added once when a prefix whose last
@@ -186,16 +190,23 @@ def ctc_beam_search_decode(
     def single(lp_seq):  # [T, C]
         T, C = lp_seq.shape
         P = jnp.uint32(1000003)
+        P2 = jnp.uint32(1000033)
 
         prefixes = jnp.zeros((W, T), jnp.int32)
         lengths = jnp.zeros((W,), jnp.int32)
-        # Live beam 0 = empty prefix (hash seed 1); dead beams get
+        # Live beam 0 = empty prefix (hash seeds 1 / 2); dead beams get
         # unique junk hashes so they can never merge with live ones.
         hashes = jnp.where(
             jnp.arange(W) == 0,
             jnp.uint32(1),
             jnp.uint32(0x9E3779B9) * jnp.arange(W, dtype=jnp.uint32)
             + jnp.uint32(12345),
+        )
+        hashes2 = jnp.where(
+            jnp.arange(W) == 0,
+            jnp.uint32(2),
+            jnp.uint32(0x27D4EB2F) * jnp.arange(W, dtype=jnp.uint32)
+            + jnp.uint32(54321),
         )
         last = jnp.full((W,), -1, jnp.int32)
         lp_b = jnp.full((W,), _NEG_INF, jnp.float32).at[0].set(0.0)
@@ -204,7 +215,7 @@ def ctc_beam_search_decode(
         cls = jnp.arange(C)
 
         def step(state, lp_t):
-            prefixes, lengths, hashes, last, lp_b, lp_nb = state
+            prefixes, lengths, hashes, hashes2, last, lp_b, lp_nb = state
             total = _logsumexp2(lp_b, lp_nb)  # [W]
 
             # Stay candidates: prefix unchanged.  Ends-blank from any
@@ -241,6 +252,16 @@ def ctc_beam_search_decode(
                     ).reshape(-1),
                 ]
             )
+            cand_hash2 = jnp.concatenate(
+                [
+                    hashes2,
+                    (
+                        hashes2[:, None] * P2
+                        + cls[None, :].astype(jnp.uint32)
+                        + jnp.uint32(1)
+                    ).reshape(-1),
+                ]
+            )
             cand_lpb = jnp.concatenate(
                 [stay_b, jnp.full((W * C,), _NEG_INF, jnp.float32)]
             )
@@ -252,26 +273,30 @@ def ctc_beam_search_decode(
                 [jnp.full((W,), -1, jnp.int32), jnp.tile(cls, W)]
             )
 
-            # Lexsort (hash asc, total desc): equal-prefix candidates
-            # become adjacent with the strongest first.  One
+            # Lexsort (hash pair asc, total desc): equal-prefix
+            # candidates become adjacent with the strongest first.  One
             # multi-operand lax.sort carries the payloads along —
             # measured ~2x cheaper per step on TPU than the
             # argsort-of-argsort + gather chain it replaces.
             cand_total = _logsumexp2(cand_lpb, cand_lpnb)
-            h_s, _, lpb_s, lpnb_s, par_s, ch_s = jax.lax.sort(
+            h_s, h2_s, _, lpb_s, lpnb_s, par_s, ch_s = jax.lax.sort(
                 (
                     cand_hash,
+                    cand_hash2,
                     -cand_total,
                     cand_lpb,
                     cand_lpnb,
                     cand_parent,
                     cand_char,
                 ),
-                num_keys=2,
+                num_keys=3,
             )
 
             startseg = jnp.concatenate(
-                [jnp.array([True]), h_s[1:] != h_s[:-1]]
+                [
+                    jnp.array([True]),
+                    (h_s[1:] != h_s[:-1]) | (h2_s[1:] != h2_s[:-1]),
+                ]
             )
             # Segmented logsumexp over equal-hash runs WITHOUT
             # jax.ops.segment_* (those lower to TPU scatters, ~0.5
@@ -318,6 +343,13 @@ def ctc_beam_search_decode(
                 * jnp.arange(W, dtype=jnp.uint32)
                 + jnp.uint32(0xC2B2AE35),
             )
+            new_hash2 = jnp.where(
+                sel_ok,
+                h2_s[top_pos],
+                jnp.uint32(0x165667B1)
+                * jnp.arange(W, dtype=jnp.uint32)
+                + jnp.uint32(0x7F4A7C15),
+            )
             new_lp_b = jnp.where(sel_ok, lpb_seg[top_pos], _NEG_INF)
             new_lp_nb = jnp.where(sel_ok, lpnb_seg[top_pos], _NEG_INF)
 
@@ -333,14 +365,15 @@ def ctc_beam_search_decode(
                 new_pref,
                 new_len,
                 new_hash,
+                new_hash2,
                 new_last,
                 new_lp_b,
                 new_lp_nb,
             ), None
 
-        state = (prefixes, lengths, hashes, last, lp_b, lp_nb)
+        state = (prefixes, lengths, hashes, hashes2, last, lp_b, lp_nb)
         state, _ = jax.lax.scan(step, state, lp_seq)
-        prefixes, lengths, _, _, lp_b, lp_nb = state
+        prefixes, lengths, _, _, _, lp_b, lp_nb = state
         score = _logsumexp2(lp_b, lp_nb)
         order = jnp.argsort(-score)
         return prefixes[order], lengths[order], score[order]

@@ -25,6 +25,7 @@ import numpy as np
 
 from lightly_ocr_tpu.config import Config
 from lightly_ocr_tpu.models.crnn import CRNNet
+from lightly_ocr_tpu.models.decode import decode_crops, load_lm_prior
 from lightly_ocr_tpu.models.vgg_unet import (
     VGG_UNet,
     VGG_UNetTrunk,
@@ -159,7 +160,7 @@ class BatchedOCR:
         cfg = self.cfg
         M = self.boxes_per_image
         det_net, rec_net = self.det_net, self.rec_net
-        is_ctc = cfg.prediction == "CTC"
+        lm = load_lm_prior(cfg)
 
         det_trunk = self.det_trunk
         det_stem, det_trunk_fs = self.det_stem, self.det_trunk_fs
@@ -277,58 +278,18 @@ class BatchedOCR:
             )(gray, rects)  # [B, M, h, w, 1]
             crops = crops.reshape(-1, cfg.height, cfg.width, 1)
 
-            # 5) recognize all B*M crops in one dispatch
-            if (not is_ctc) and cfg.attn_decode == "beam":
-                # beam-decode the attention head on device: pred_idx is
-                # the best beam's token sequence (EOS-terminated, the
-                # host decode's stop logic applies unchanged) and
-                # confidence its sequence probability
-                tokens, scores = rec_net.apply(
-                    rec_vars, crops, None, False, cfg.beam_width
-                )
-                B = tmaps.shape[0]
-                return {
-                    "rects": rects,
-                    "valid": valid,
-                    "pred_idx": tokens[:, 0].reshape(B, M, -1),
-                    "confidence": jnp.exp(
-                        scores[:, 0].astype(jnp.float32)
-                    ).reshape(B, M),
-                }
-            preds = rec_net.apply(rec_vars, crops, None, False)
-            preds = preds.astype(jnp.float32)
-            if is_ctc and cfg.ctc_decode == "beam":
-                # on-device prefix beam search: pred_idx becomes the
-                # FINAL label sequence (host decode skips collapsing)
-                # and confidence the true sequence posterior
-                from lightly_ocr_tpu.ops.ctc import ctc_beam_search_decode
-
-                labels, _, scores = ctc_beam_search_decode(
-                    preds, beam_width=cfg.beam_width
-                )
-                B = tmaps.shape[0]
-                return {
-                    "rects": rects,
-                    "valid": valid,
-                    "pred_idx": labels[:, 0].reshape(B, M, -1),
-                    "confidence": jnp.exp(scores[:, 0]).reshape(B, M),
-                }
-            probs = jax.nn.softmax(preds, axis=2)
-            max_probs = jnp.max(probs, axis=2)
-            idx = jnp.argmax(preds, axis=2)
-            if is_ctc:
-                conf = jnp.prod(max_probs, axis=1)
-            else:
-                eos = idx == 1
-                before = jnp.cumsum(eos, axis=1) == 0
-                conf = jnp.prod(jnp.where(before, max_probs, 1.0), axis=1)
-                conf = jnp.where(jnp.any(eos, axis=1), conf, 0.0)
+            # 5) recognize all B*M crops in one dispatch, decoded by
+            # the SHARED models/decode.py implementation (greedy / CTC
+            # prefix beam + optional LM prior / attention beam) — the
+            # per-image engine uses the same function, so the two
+            # paths cannot drift
+            idx, conf = decode_crops(rec_net, rec_vars, crops, cfg, lm)
             B = tmaps.shape[0]
             return {
                 "rects": rects,
                 "valid": valid,
                 "pred_idx": idx.reshape(B, M, -1),
-                "confidence": conf.reshape(B, M),
+                "confidence": conf.astype(jnp.float32).reshape(B, M),
             }
 
         def program(det_vars, rec_vars, canvases, gray, inv_ratio, extents):

@@ -282,7 +282,7 @@ def main(argv=None) -> int:
     parser.add_argument("--int8", dest="int8", action="store_true",
                         default=None,
                         help="w8a8 int8 backbone convs — the measured "
-                             "production serving mode on v5e (+~15% "
+                             "production serving mode on v5e (+~15%% "
                              "throughput; parity-gated by "
                              "tests/test_quant.py).  ON by default so "
                              "the deployed mode matches the published "
@@ -299,6 +299,11 @@ def main(argv=None) -> int:
                              "default, beam returns true sequence "
                              "posteriors as confidences)")
     parser.add_argument("--beam-width", type=int, default=None)
+    parser.add_argument("--lm", default=None, metavar="PRIOR_NPY",
+                        help="shallow-fusion LM for CTC beam decode: "
+                             "path to a .npy [C, C] transition "
+                             "log-prior (sets ctc_lm_path; requires "
+                             "prediction=CTC and --decode beam)")
     opt = parser.parse_args(argv)
     from dataclasses import replace
 
@@ -314,6 +319,8 @@ def main(argv=None) -> int:
         cfg = replace(cfg, **{key: opt.decode})
     if opt.beam_width is not None:
         cfg = replace(cfg, beam_width=opt.beam_width)
+    if opt.lm is not None:
+        cfg = replace(cfg, ctc_lm_path=opt.lm)
     run_server(opt.host, opt.port, opt.config, opt.thresh, config=cfg,
                batched=opt.batched)
     return 0

@@ -84,6 +84,21 @@ def _device_fingerprint() -> str:
     return f"{jax.__version__}|{devs[0].device_kind}|{len(devs)}"
 
 
+def _device_tag() -> str:
+    """Filesystem-safe backend tag for cache FILENAMES (e.g.
+    ``tpuv5lite8`` / ``cpu8``).  The tag makes the backend visible in
+    the entry name so the repo can commit ONLY deliberately-minted TPU
+    executables: ``.gitignore`` drops ``cpu*`` entries, which test runs
+    and the driver's virtual-mesh dryruns mint as a side effect (a
+    committed CPU blob is dead weight for the driver's TPU bench and
+    churns on every dryrun)."""
+    import jax
+
+    devs = jax.devices()
+    kind = "".join(c for c in devs[0].device_kind.lower() if c.isalnum())
+    return f"{kind}{len(devs)}"
+
+
 def program_key(lowered: Any) -> str:
     """Content hash of the lowered program + toolchain + device."""
     h = hashlib.sha256()
@@ -214,7 +229,9 @@ def cached_compile(jitted: Callable, args: tuple, label: str = "") -> Callable:
     if directory is None:
         return lowered.compile()
     key = program_key(lowered)
-    path = directory / f"{label + '-' if label else ''}{key}.jexe"
+    path = directory / (
+        f"{label + '-' if label else ''}{_device_tag()}-{key}.jexe"
+    )
     if path.exists():
         compiled = _load(path)
         if compiled is not None:

@@ -140,6 +140,50 @@ def test_beam_engine_wiring_decode_labels():
         assert all(ch in cfg.character for ch in t)
 
 
+def test_lm_prior_engine_plumbing(tmp_path):
+    """ctc_lm_path reaches the on-device beam search from the public
+    engine API: a prior that forbids everything except one character
+    forces every transcript to be a run of that character (or empty)."""
+    from lightly_ocr_tpu.config import Config
+    from lightly_ocr_tpu.engines import CRNN
+    from lightly_ocr_tpu.models.decode import load_lm_prior
+
+    base = Config(prediction="CTC", transform="None", sequence="None",
+                  ctc_decode="beam", beam_width=4)
+    C = base.derived_num_classes
+    only = base.character.index("7") + 1  # label index of '7' (blank=0)
+    lm = np.full((C, C), -1e9, np.float32)
+    lm[:, only] = 0.0
+    path = tmp_path / "prior.npy"
+    np.save(path, lm)
+
+    cfg = base.replace(ctc_lm_path=str(path))
+    assert load_lm_prior(cfg) is not None
+    rec = CRNN(cfg, dtype=jnp.float32)
+    crops = jnp.asarray(
+        np.random.default_rng(1)
+        .standard_normal((3, cfg.height, cfg.width, 1))
+        .astype(np.float32)
+    )
+    texts, conf = rec.recognize_crops(crops)
+    for t in texts:
+        assert set(t) <= {"7"}, t
+    # same engine without the prior decodes freely (sanity: the prior
+    # actually changed the program, not just the inputs)
+    rec0 = CRNN(base, dtype=jnp.float32)
+    rec0.variables = rec.variables
+    texts0, _ = rec0.recognize_crops(crops)
+    assert texts0 != texts or all(set(t) <= {"7"} for t in texts0)
+
+    # misuse guards: wrong shape / wrong mode fail loudly
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((2, 2), np.float32))
+    with pytest.raises(ValueError):
+        load_lm_prior(cfg.replace(ctc_lm_path=str(bad)))
+    with pytest.raises(ValueError):
+        load_lm_prior(cfg.replace(ctc_decode="greedy"))
+
+
 @pytest.mark.slow  # compiles a full serving program (~2 min on CPU)
 def test_batched_ocr_attention_beam_decode():
     """attn_decode=beam through the batched serving program: same boxes
@@ -299,12 +343,14 @@ def test_attention_beam_exact_tiny():
         jax.random.key(0), feats, jnp.zeros((1, S), jnp.int32), True
     )
 
+    # All candidates are TERMINATED sequences (<= S-1 non-EOS tokens
+    # then EOS): the beam forces EOS at the last step, so unterminated
+    # full-length sequences are not in its hypothesis space by design.
     non_eos = [c for c in range(C) if c != 1]
     seqs = []
     for k in range(S):  # k non-EOS tokens then EOS
         for prefix in itertools.product(non_eos, repeat=k):
             seqs.append(tuple(prefix) + (1,))
-    seqs += [t for t in itertools.product(non_eos, repeat=S)]  # no EOS
     exact = _attn_teacher_scores(module, variables, feats, seqs)
     best = max(exact, key=exact.get)
 
@@ -367,10 +413,20 @@ def test_attention_beam_engine_wiring():
     )
     for k in range(3):
         stop = np.nonzero(g[k] == 1)[0]
-        upto = int(stop[0]) + 1 if len(stop) else cfg.num_steps
-        g_score = float(
-            sum(logp[k, t, g[k, t]] for t in range(upto))
-        )
+        if len(stop):
+            upto = int(stop[0]) + 1
+            g_score = float(
+                sum(logp[k, t, g[k, t]] for t in range(upto))
+            )
+        else:
+            # greedy never terminated: the comparable hypothesis in the
+            # beam's (all-terminated) space follows greedy for S-1
+            # steps then pays the true EOS cost at the last step
+            S = cfg.num_steps
+            g_score = float(
+                sum(logp[k, t, g[k, t]] for t in range(S - 1))
+                + logp[k, S - 1, 1]
+            )
         assert float(scores[k, 0]) >= g_score - 1e-3, (
             float(scores[k, 0]), g_score,
         )
