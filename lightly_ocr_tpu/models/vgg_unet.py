@@ -104,6 +104,8 @@ class VggBackbone(nn.Module):
 # conv3+BN+ReLU, and the post ops resume from the pool.
 _SLICE1_PREFIX = (("C", 0, 64), ("R",))
 _SLICE1_POST = (("P",), ("C", 7, 128), ("R",), ("C", 10, 128), ("R",))
+# resume AFTER the pool (the fused conv1_2+pool kernel already pooled)
+_SLICE1_FROMPOOL = (("C", 7, 128), ("R",), ("C", 10, 128), ("R",))
 
 
 class VggStemPrefix(nn.Module):
@@ -144,6 +146,31 @@ class _FromStemBasenet(nn.Module):
         x = _VggSlice(_SLICE1_POST, self.dtype, self.quant, name="slice1")(
             x, train
         )
+        outs["slice1"] = x
+        for name in ("slice2", "slice3", "slice4"):
+            x = _VggSlice(
+                tuple(_VGG_SLICES[name]), self.dtype, self.quant, name=name
+            )(x, train)
+            outs[name] = x
+        outs["fc7"] = _Slice5(self.dtype, self.quant, name="slice5")(x)
+        return outs
+
+
+class _FromPoolBasenet(nn.Module):
+    """Backbone resuming from the fused conv1_2+POOL activation
+    ([B, H/2, W/2, 64], :func:`~lightly_ocr_tpu.ops.pallas_stem.
+    fused_conv12_pool`): the two 128-channel slice1 convs, then slices
+    2-5.  Param names coincide with :class:`VggBackbone` so one
+    variable tree serves both."""
+
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        outs = {}
+        x = _VggSlice(_SLICE1_FROMPOOL, self.dtype, self.quant,
+                      name="slice1")(x, train)
         outs["slice1"] = x
         for name in ("slice2", "slice3", "slice4"):
             x = _VggSlice(
@@ -303,12 +330,24 @@ class VGG_UNetTrunk(nn.Module):
     With ``from_stem=True`` the input is the fused Pallas conv1_2
     activation (``[B, H, W, 64]``, see :mod:`~lightly_ocr_tpu.ops.
     pallas_stem`) instead of the canvas, and the backbone resumes from
-    the slice1 pool.
+    the slice1 pool.  With ``from_pool=True`` the input is the fused
+    conv1_2+POOL activation (``[B, H/2, W/2, 64]``,
+    :func:`~lightly_ocr_tpu.ops.pallas_stem.fused_conv12_pool`) and the
+    backbone resumes at conv2_1.
+
+    With ``seam=True`` the final upsample+concat is SKIPPED and the
+    pre-seam pair ``(upconv3_out [B, H/4, W/4, 64], slice1 [B, H/2,
+    W/2, 128])`` is returned for
+    :func:`~lightly_ocr_tpu.ops.pallas_tail.fused_tail_scores_cs_seam`,
+    which folds the seam into upconv4's (linear) 1x1 — the 192-channel
+    H/2 concat is 943 MB bf16 at b16 960x640 and never needs to exist.
     """
 
     dtype: Dtype = jnp.float32
     quant: bool = False
     from_stem: bool = False
+    from_pool: bool = False
+    seam: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -317,7 +356,12 @@ class VGG_UNetTrunk(nn.Module):
                 "quant=True is an inference-only mode (zero-gradient "
                 "rounding); train in float."
             )
-        bb = _FromStemBasenet if self.from_stem else VggBackbone
+        if self.from_pool:
+            bb = _FromPoolBasenet
+        elif self.from_stem:
+            bb = _FromStemBasenet
+        else:
+            bb = VggBackbone
         s = bb(self.dtype, self.quant, name="basenet")(x, train)
 
         y = jnp.concatenate([s["fc7"], s["slice4"]], axis=-1)  # H/16
@@ -334,5 +378,7 @@ class VGG_UNetTrunk(nn.Module):
         y = UpConv(128, 64, self.dtype, self.quant, name="upconv3")(y, train)
 
         t = s["slice1"]  # H/2
+        if self.seam:
+            return y, t  # pre-seam pair for fused_tail_scores_cs_seam
         y = _upsample_to(y, t.shape[1], t.shape[2])
         return jnp.concatenate([y, t], axis=-1)  # [B, H/2, W/2, 192]

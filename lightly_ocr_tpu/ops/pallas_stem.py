@@ -210,3 +210,163 @@ def fused_stem_conv(
         ),
         interpret=interpret,
     )(w01, w2, b, xcat)
+
+
+# ---------------------------------------------------------------------------
+# conv1_2 + 2x2 maxpool fused (round-2 rework with the tail's recipe)
+# ---------------------------------------------------------------------------
+
+
+def _conv_pool_kernel(rows, wk_ref, b_ref, xp_hbm, out_ref, slabs, sems):
+    """One (batch, row-block) step: [rows+2, Wp, 128] slab ->
+    pooled ReLU'd conv output [rows/2, W/2, 64].
+
+    Same structural recipe that made the tail kernel win
+    (:func:`~lightly_ocr_tpu.ops.pallas_tail._conv3_same`): the whole
+    3x3 is ONE near-dense MXU dot with K = 3C row taps (dim-0 slices,
+    offset-free lane concat) and N = 3Co w-taps (shifted output
+    slice-adds), flattened to a single tall [R*Wp, 192] matmul.  The
+    2x2 maxpool runs in-register on the f32 conv result, so the
+    full-resolution 64-channel activation (1.26 GB bf16 logical /
+    2.5 GB lane-padded at b16 960x640) never exists in HBM — the XLA
+    graph pays that write, the pool's re-read, AND a 1.9 ms layout
+    copy between them (BENCH.md trunk profile: conv1_2 9.58 + pool
+    1.98 + copy 1.89 ms).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    nsteps = pl.num_programs(0) * ni
+
+    def dma(b_, i_, slot):
+        return pltpu.make_async_copy(
+            xp_hbm.at[b_, pl.ds(i_ * rows, rows + 2)],
+            slabs.at[slot],
+            sems.at[slot],
+        )
+
+    k = b * ni + i
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _():
+        dma(b, i, slot).start()
+
+    @pl.when(k + 1 < nsteps)
+    def _():
+        kn = k + 1
+        dma(kn // ni, jax.lax.rem(kn, ni), jax.lax.rem(kn, 2)).start()
+
+    dma(b, i, slot).wait()
+    slab = slabs[slot]  # [rows+2, Wp, 128]; lanes 64: are zero pad
+    R = rows
+    Wp = slab.shape[1]
+    W = out_ref.shape[2] * 2  # true conv width
+
+    # K = 3*64 lane-concat of the row taps (offset-free dim-0 slices)
+    xr = jnp.concatenate(
+        [slab[u : u + R, :, 0:64] for u in range(3)], axis=-1
+    )
+    y = jax.lax.dot_general(
+        xr.reshape(R * Wp, 192),
+        wk_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(R, Wp, 192)
+    # w-taps ride N: out[r, c] += y[r, c+v, v-block] (xp col c+v = src
+    # col c+v-1 = kernel w-tap v of the SAME conv)
+    acc = y[:, 0:W, 0:64]
+    for v in (1, 2):
+        acc = acc + y[:, v : v + W, v * 64 : (v + 1) * 64]
+    a = jnp.maximum(acc + b_ref[:].reshape(1, 1, -1), 0.0)
+    # 2x2 maxpool in-register: rows via offset dim-0 strided slices,
+    # cols via the pair-lane reshape ([R/2, W, 64] -> [R/2, W/2, 128]
+    # puts each column pair's channels side by side on the lane dim —
+    # W is the sublane dim so this is one in-VMEM relayout, far
+    # cheaper than an HBM round-trip)
+    rmax = jnp.maximum(a[0::2], a[1::2])  # [R/2, W, 64]
+    r2 = rmax.reshape(R // 2, W // 2, 128)
+    cmax = jnp.maximum(r2[:, :, 0:64], r2[:, :, 64:128])
+    out_ref[0] = cmax.astype(out_ref.dtype)
+
+
+def conv12_params(variables: dict) -> tuple:
+    """([192, 192] packed conv1_2 kernel with BN folded, [1, 1, 64]
+    bias) for :func:`fused_conv12_pool` — K/N layouts per
+    :func:`~lightly_ocr_tpu.ops.pallas_tail._wtap`."""
+    from lightly_ocr_tpu.ops.pallas_tail import _wtap
+
+    p = variables["params"]["basenet"]["slice1"]
+    bs = variables["batch_stats"]["basenet"]["slice1"]
+    k, b = fold_bn(
+        p["3"]["kernel"], p["3"]["bias"],
+        p["4"]["scale"], p["4"]["bias"],
+        bs["4"]["mean"], bs["4"]["var"],
+    )
+    return _wtap(k), jnp.asarray(b, jnp.float32).reshape(1, 1, -1)
+
+
+def _pick_rows_even(h: int) -> int:
+    """Largest even row block dividing ``h`` from the supported set
+    (even: the 2x2 pool halves rows in-kernel)."""
+    for r in (32, 16, 8, 4, 2):
+        if h % r == 0:
+            return r
+    return 0
+
+
+def conv_pool_supported(h: int, w: int) -> bool:
+    return h % 2 == 0 and w % 16 == 0 and _pick_rows_even(h) != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_conv12_pool(
+    variables: dict, x0: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """conv1_1 activation [B, H, W, 64] -> pool2x2(ReLU(BN(conv1_2)))
+    [B, H/2, W/2, 64].
+
+    Replaces the XLA chain conv1_2 -> pool -> (layout copy) for the
+    detector's most expensive stage (reference topology
+    ``ocr/modules/vgg_bn.py:44-48``); the backbone resumes at conv2_1
+    (:class:`~lightly_ocr_tpu.models.vgg_unet.VGG_UNetTrunk` with
+    ``from_pool=True``).  Numerics: tests/test_pallas_stem.py
+    (interpret) + scripts/check_conv_pool_hw.py (device).
+    """
+    B, H, W, C = x0.shape
+    if C != 64:
+        raise ValueError(f"fused conv1_2+pool expects 64 channels, got {C}")
+    if W % 16:
+        # W/2 must stay 8-aligned for the pooled output's sublane dim
+        raise ValueError(f"fused conv1_2+pool: W={W} not a multiple of 16")
+    rows = _pick_rows_even(H)
+    if rows == 0:
+        raise ValueError(f"fused conv1_2+pool: H={H} has no even row split")
+    wk, bias = conv12_params(variables)
+
+    wpad = (-(W + 2)) % 8
+    xp = jnp.pad(
+        x0.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1 + wpad), (0, 64))
+    )
+
+    kernel = functools.partial(_conv_pool_kernel, rows)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // rows),
+        in_specs=[wspec, wspec, pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, rows // 2, W // 2, 64), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, 64), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + 2, W + 2 + wpad, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(wk, bias, xp)

@@ -367,15 +367,89 @@ def fused_tail_scores_cs(
         preferred_element_type=jnp.float32,
     )
     x = jnp.maximum(x + b1[None], 0.0).astype(jnp.bfloat16)
+    return _scores_from_x(
+        x, rows, cols, W2P,
+        (wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8),
+        interpret,
+    )
 
-    # Pad channels 64 -> 128: the HBM buffer is lane-padded to 128
-    # anyway, and an explicit full-width channel dim keeps the slab DMA
-    # tile-aligned (Mosaic rejects a 64-wide slice of a 128-lane tile).
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_tail_scores_cs_seam(
+    variables: dict,
+    y_lo: jax.Array,
+    t: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Seam-split tail: consumes the trunk's PRE-concat pair instead of
+    the materialized 192-channel activation.
+
+    ``y_lo`` is upconv3's output ([B, H/4, W/4, 64]) and ``t`` is the
+    slice1 skip ([B, H/2, W/2, 128]) — see
+    :class:`~lightly_ocr_tpu.models.vgg_unet.VGG_UNetTrunk` with
+    ``seam=True``.  upconv4's 1x1 and the bilinear upsample are both
+    linear, so
+
+        conv1x1(concat([up(y_lo), t])) == up(conv1x1_a(y_lo)) +
+                                          conv1x1_b(t)
+
+    exactly (``k1`` split on its input dim).  The rewrite (vs
+    :func:`fused_tail_scores_cs` fed by the concat trunk):
+
+    * the 192-channel H/2 concat (943 MB bf16 at b16 960x640) is never
+      written or re-read;
+    * the y-half of the 1x1 contracts at H/4 — 4x fewer pixels;
+    * the upsample moves the 64-ch f32 dot RESULT instead of the bf16
+      activation (exact commutation; the f32 ride keeps the only
+      reordering rounding-free until the shared +bias/ReLU/cast).
+
+    Output layout/contract identical to :func:`fused_tail_scores_cs`
+    (channels-second, ``[..., :W2]`` slice mandatory).
+    """
+    from lightly_ocr_tpu.models.vgg_unet import _upsample_to
+
+    B, H2, W2, _ = t.shape
+    rows = _pick_rows(H2)
+    if rows == 0:
+        raise ValueError(f"fused tail: H/2={H2} not divisible by 4")
+    cols = min(_env_int("LIGHTLY_OCR_TAIL_COLS",
+                        W2 if W2 <= 384 else 128), W2)
+    W2P = -(-W2 // cols) * cols
+    (k1, b1, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8) = tail_params(
+        variables
+    )
+    ya = jax.lax.dot_general(
+        y_lo.astype(jnp.bfloat16), k1[:64],
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ya = _upsample_to(ya, H2, W2)
+    yb = jax.lax.dot_general(
+        t.astype(jnp.bfloat16), k1[64:],
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    x = jnp.maximum(ya + yb + b1[None], 0.0).astype(jnp.bfloat16)
+    return _scores_from_x(
+        x, rows, cols, W2P,
+        (wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8),
+        interpret,
+    )
+
+
+def _scores_from_x(x, rows, cols, W2P, wts, interpret):
+    """Shared back half: pad the 64-ch H/2 activation (halo rings +
+    channels 64 -> 128 — the HBM buffer is lane-padded to 128 anyway,
+    and an explicit full-width channel dim keeps the slab DMA
+    tile-aligned; Mosaic rejects a 64-wide slice of a 128-lane tile)
+    and run the fused slab kernel."""
+    B, H2, W2, _ = x.shape
     xp = jnp.pad(
         x,
         ((0, 0), (HALO, HALO), (HALO, HALO + (W2P - W2)), (0, 64)),
     )
 
+    (wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8) = wts
     kernel = functools.partial(_tail_kernel, rows, cols, H2, W2)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     y = pl.pallas_call(

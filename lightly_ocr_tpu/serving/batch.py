@@ -63,6 +63,15 @@ class BatchedOCR:
         self.det_trunk_fs = VGG_UNetTrunk(
             dtype=dtype, quant=cfg.quant_int8, from_stem=True
         )
+        # seam=True trunks return the pre-concat (upconv3_out, slice1)
+        # pair for the seam-split Pallas tail — the 192-ch H/2 concat
+        # never materializes (943 MB bf16 at b16 960x640)
+        self.det_trunk_seam = VGG_UNetTrunk(
+            dtype=dtype, quant=cfg.quant_int8, seam=True
+        )
+        self.det_trunk_fs_seam = VGG_UNetTrunk(
+            dtype=dtype, quant=cfg.quant_int8, from_stem=True, seam=True
+        )
         self.rec_net = CRNNet(cfg, dtype=dtype, quant=cfg.quant_int8)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
@@ -152,9 +161,9 @@ class BatchedOCR:
 
             return stem_conv_rowpacked, tail_scores_rowpacked, False
         from lightly_ocr_tpu.ops.pallas_stem import fused_stem_conv
-        from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores_cs
+        from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores_cs_seam
 
-        return fused_stem_conv, fused_tail_scores_cs, True
+        return fused_stem_conv, fused_tail_scores_cs_seam, True
 
     def _build(self):
         cfg = self.cfg
@@ -164,6 +173,8 @@ class BatchedOCR:
 
         det_trunk = self.det_trunk
         det_stem, det_trunk_fs = self.det_stem, self.det_trunk_fs
+        det_trunk_seam = self.det_trunk_seam
+        det_trunk_fs_seam = self.det_trunk_fs_seam
         plan_for = self._fused_kernel_plan
 
         fused_impls = self._fused_impls
@@ -184,20 +195,32 @@ class BatchedOCR:
 
             use_stem, use_tail = plan_for(canvases.shape[1])
             if use_tail:
+                w2 = canvases.shape[2] // 2
+                if tail_is_cs:
+                    # seam-split Pallas path: the trunk hands over the
+                    # PRE-concat (upconv3_out, slice1) pair and the
+                    # tail folds the seam into upconv4's linear 1x1
+                    # (fused_tail_scores_cs_seam) — the 192-ch H/2
+                    # concat never materializes.
+                    if use_stem:
+                        x0 = det_stem.apply(det_vars, canvases)
+                        s1c = stem_conv(det_vars, x0)
+                        y_lo, t = det_trunk_fs_seam.apply(det_vars, s1c)
+                    else:
+                        y_lo, t = det_trunk_seam.apply(det_vars, canvases)
+                    y = tail_scores(det_vars, y_lo, t)
+                    # channels-second [B, H2, 2, W2P] (Pallas impl's
+                    # native layout; W2P >= W2 col-block padding, and
+                    # pad columns carry bias-propagated garbage — the
+                    # :w2 slice is mandatory, see fused_tail_scores_cs)
+                    return y[:, :, 0, :w2], y[:, :, 1, :w2]
                 if use_stem:
                     x0 = det_stem.apply(det_vars, canvases)
                     s1c = stem_conv(det_vars, x0)
                     y192 = det_trunk_fs.apply(det_vars, s1c)
                 else:
                     y192 = det_trunk.apply(det_vars, canvases)
-                w2 = canvases.shape[2] // 2
                 y = tail_scores(det_vars, y192)
-                if tail_is_cs:
-                    # channels-second [B, H2, 2, W2P] (Pallas impl's
-                    # native layout; W2P >= W2 col-block padding, and
-                    # pad columns carry bias-propagated garbage — the
-                    # :w2 slice is mandatory, see fused_tail_scores_cs)
-                    return y[:, :, 0, :w2], y[:, :, 1, :w2]
                 return y[..., 0], y[..., 1]
             y, _ = det_net.apply(det_vars, canvases)
             y = y.astype(jnp.float32)

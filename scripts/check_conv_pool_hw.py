@@ -1,0 +1,85 @@
+"""Device gate for the fused conv1_2+pool kernel at production shape.
+
+Three questions, at b16 960x640 (the serving canvas bucket):
+
+  1. compile feasibility through the tunnel;
+  2. numerics: fused vs the plain flax conv1_2->pool chain;
+  3. speed: fused kernel vs the XLA chain it replaces (conv1_2 + pool
+     measured 9.58 + 1.98 ms plus a 1.89 ms layout copy in the trunk
+     profile — BENCH.md).
+
+    nohup python scripts/check_conv_pool_hw.py > /tmp/cpool_hw.log 2>&1 &
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lightly_ocr_tpu.models.vgg_unet import VGG_UNet, _VggSlice
+from lightly_ocr_tpu.ops.pallas_stem import fused_conv12_pool
+
+B, H, W = 16, 960, 640
+
+
+def timeit(tag, fn, *args, n=6):
+    t0 = time.time()
+    out = fn(*args)
+    np.asarray(out[0, 0, 0])
+    print(f"{tag}: compile+first {time.time()-t0:.1f}s", flush=True)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args)[0, 0, 0])
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts)) * 1e3
+    print(f"{tag}: median wall {ms:.1f} ms over {n}", flush=True)
+    return out, ms
+
+
+class _RefChain(nn.Module):
+    """conv1_2 + BN + ReLU + pool only (consumes the conv1_1
+    activation, like the kernel)."""
+
+    @nn.compact
+    def __call__(self, x):
+        class B(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return _VggSlice(
+                    (("C", 3, 64), ("R",), ("P",)), jnp.bfloat16, False,
+                    name="slice1",
+                )(x, False)
+
+        return B(name="basenet")(x)
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(0)
+    v = VGG_UNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 64, 3)))
+    # conv1_1-activation-like input: ReLU'd, so nonnegative
+    x0 = jnp.asarray(
+        np.abs(rng.standard_normal((B, H, W, 64))), jnp.bfloat16
+    )
+
+    ref_fn = jax.jit(lambda v, x: _RefChain().apply(v, x))
+    fused_fn = jax.jit(lambda v, x: fused_conv12_pool(v, x))
+
+    yr, tr = timeit("A xla conv1_2+pool", ref_fn, v, x0)
+    yf, tf = timeit("B fused kernel    ", fused_fn, v, x0)
+
+    a = np.asarray(yr, np.float32)
+    b = np.asarray(yf, np.float32)
+    print(f"maxdiff {np.max(np.abs(a - b)):.2e}", flush=True)
+    print(f"speedup A/B: {tr / tf:.3f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

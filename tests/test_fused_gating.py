@@ -49,7 +49,7 @@ def test_fused_impl_default_is_pallas(monkeypatch):
     # the serving path takes the kernel's native channels-second
     # output (no 471 MB moveaxis back to channels-last); the layout is
     # declared by impl identity, not sniffed from shapes
-    assert tail_scores.__name__ == "fused_tail_scores_cs"
+    assert tail_scores.__name__ == "fused_tail_scores_cs_seam"
     assert tail_is_cs is True
 
 

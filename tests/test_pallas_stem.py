@@ -68,3 +68,39 @@ def test_fused_stem_conv_row_blocks():
         (np.asarray(out) - mean) / np.sqrt(var + 1e-5) * scale + shift, 0.0
     )
     assert np.max(np.abs(np.asarray(got, np.float32) - ref)) < 3e-2
+
+
+@pytest.mark.slow
+def test_fused_conv12_pool_matches_flax_chain():
+    """conv1_2+BN+ReLU+pool fused (interpret) == the flax slice chain.
+    Covers the packed single dot (K=3C row taps, N=3Co w-taps), the
+    in-register 2x2 pool (dim-0 strided rows + pair-lane reshape cols),
+    and the overlapping-slab DMA (H=64 -> two 32-row blocks)."""
+    from lightly_ocr_tpu.models.vgg_unet import _VggSlice
+    from lightly_ocr_tpu.ops.pallas_stem import fused_conv12_pool
+
+    import flax.linen as nn
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 48, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(3), x)
+
+    class RefMod(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            class B(nn.Module):
+                @nn.compact
+                def __call__(self, x):
+                    return _VggSlice(
+                        (("C", 0, 64), ("R",), ("C", 3, 64), ("R",), ("P",)),
+                        jnp.bfloat16, False, name="slice1",
+                    )(x, False)
+
+            return B(name="basenet")(x)
+
+    ref = RefMod().apply(v, x)
+    x0 = VggStemPrefix(dtype=jnp.bfloat16).apply(v, x)
+    got = fused_conv12_pool(v, x0, interpret=True)
+    assert got.shape == ref.shape == (2, 32, 24, 64)
+    d = np.max(np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32)))
+    assert d < 3e-2, d

@@ -7,6 +7,8 @@ import pytest
 from lightly_ocr_tpu.models.vgg_unet import VGG_UNet, VGG_UNetTrunk
 from lightly_ocr_tpu.ops.pallas_tail import (
     fused_tail_scores,
+    fused_tail_scores_cs,
+    fused_tail_scores_cs_seam,
     fused_tail_supported,
 )
 
@@ -47,3 +49,33 @@ def test_fused_tail_row_split_edges():
     got = fused_tail_scores(v, y192, interpret=True)
     diff = np.max(np.abs(np.asarray(got) - np.asarray(y_ref, np.float32)))
     assert diff < 5e-3
+
+
+@pytest.mark.slow
+def test_seam_split_matches_concat_tail():
+    """The seam-split tail (pre-concat pair + split 1x1, the serving
+    default) matches the concat-fed tail: conv1x1(concat([up(y), t]))
+    == up(conv1x1_a(y)) + conv1x1_b(t) — both the 1x1 and the bilinear
+    resize are linear, so the only deltas are bf16 reassociation."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 96, 64, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(2), x)
+
+    trunk = VGG_UNetTrunk(dtype=jnp.bfloat16)
+    trunk_seam = VGG_UNetTrunk(dtype=jnp.bfloat16, seam=True)
+    y192 = trunk.apply(v, x)
+    y_lo, t = trunk_seam.apply(v, x)
+    assert y_lo.shape == (2, 24, 16, 64)
+    assert t.shape == (2, 48, 32, 128)
+
+    ref = fused_tail_scores_cs(v, y192, interpret=True)
+    got = fused_tail_scores_cs_seam(v, y_lo, t, interpret=True)
+    assert got.shape == ref.shape
+    diff = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+    assert diff < 5e-3
+
+    # and against the plain flax head (end-to-end anchor)
+    y_flax, _ = VGG_UNet(dtype=jnp.bfloat16).apply(v, x)
+    w2 = x.shape[2] // 2
+    cl = np.moveaxis(np.asarray(got), 2, 3)[:, :, :w2]
+    assert np.max(np.abs(cl - np.asarray(y_flax, np.float32))) < 5e-3
