@@ -72,6 +72,9 @@ class BatchedOCR:
         self.det_trunk_fs_seam = VGG_UNetTrunk(
             dtype=dtype, quant=cfg.quant_int8, from_stem=True, seam=True
         )
+        self.det_trunk_pool_seam = VGG_UNetTrunk(
+            dtype=dtype, quant=cfg.quant_int8, from_pool=True, seam=True
+        )
         self.rec_net = CRNNet(cfg, dtype=dtype, quant=cfg.quant_int8)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
@@ -83,8 +86,8 @@ class BatchedOCR:
         self._program = self._build()
         self._compiled: dict = {}  # (shapes/dtypes) -> AOT executable
 
-    def _fused_kernel_plan(self, h: int) -> tuple[bool, bool]:
-        """(use_stem, use_tail) for canvas height ``h`` — TPU only.
+    def _fused_kernel_plan(self, h: int, w: int = 0) -> tuple[bool, bool, bool]:
+        """(use_stem, use_tail, use_cpool) for canvas ``(h, w)`` — TPU only.
 
         The Pallas TAIL is ON by default on TPU: with the packed
         single-dot kernel it beats the plain flax graph on device
@@ -96,7 +99,10 @@ class BatchedOCR:
         receipts/s) and the Pallas stem never beat XLA on device."""
         import os
 
-        from lightly_ocr_tpu.ops.pallas_stem import stem_supported
+        from lightly_ocr_tpu.ops.pallas_stem import (
+            conv_pool_supported,
+            stem_supported,
+        )
         from lightly_ocr_tpu.ops.pallas_tail import fused_tail_supported
 
         env = os.environ.get("LIGHTLY_OCR_ENABLE_FUSED")
@@ -116,6 +122,16 @@ class BatchedOCR:
             and stem_supported(h)
             and not self.cfg.quant_int8
             and "stem" in enabled
+        )
+        # conv1_2+pool fused kernel (opt-in pending device A/B): rides
+        # the seam tail path, so it requires use_tail and the Pallas
+        # impl; mutually exclusive with the old stem (both replace
+        # conv1_2)
+        use_cpool = (
+            use_tail
+            and not use_stem
+            and conv_pool_supported(h, w or 16)
+            and "cpool" in enabled
         )
         # warn only on EXPLICIT requests that cannot be honored — the
         # default-on tail silently falls back off-TPU / at odd heights
@@ -138,7 +154,15 @@ class BatchedOCR:
                 "fused tail enabled, a supported canvas height, and "
                 "quant_int8 off) — running without it"
             )
-        return use_stem, use_tail
+        if explicit and "cpool" in enabled and not use_cpool:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused conv1_2+pool requested but not active (requires "
+                "the fused Pallas tail, an even-split canvas, and no "
+                "'stem' in the enable set) — running without it"
+            )
+        return use_stem, use_tail, use_cpool
 
     @staticmethod
     def _fused_impls():
@@ -175,6 +199,7 @@ class BatchedOCR:
         det_stem, det_trunk_fs = self.det_stem, self.det_trunk_fs
         det_trunk_seam = self.det_trunk_seam
         det_trunk_fs_seam = self.det_trunk_fs_seam
+        det_trunk_pool_seam = self.det_trunk_pool_seam
         plan_for = self._fused_kernel_plan
 
         fused_impls = self._fused_impls
@@ -193,7 +218,9 @@ class BatchedOCR:
             # the largest single op of the fused path).
             stem_conv, tail_scores, tail_is_cs = fused_impls()
 
-            use_stem, use_tail = plan_for(canvases.shape[1])
+            use_stem, use_tail, use_cpool = plan_for(
+                canvases.shape[1], canvases.shape[2]
+            )
             if use_tail:
                 w2 = canvases.shape[2] // 2
                 if tail_is_cs:
@@ -202,7 +229,15 @@ class BatchedOCR:
                     # tail folds the seam into upconv4's linear 1x1
                     # (fused_tail_scores_cs_seam) — the 192-ch H/2
                     # concat never materializes.
-                    if use_stem:
+                    if use_cpool:
+                        from lightly_ocr_tpu.ops.pallas_stem import (
+                            fused_conv12_pool,
+                        )
+
+                        x0 = det_stem.apply(det_vars, canvases)
+                        p1 = fused_conv12_pool(det_vars, x0)
+                        y_lo, t = det_trunk_pool_seam.apply(det_vars, p1)
+                    elif use_stem:
                         x0 = det_stem.apply(det_vars, canvases)
                         s1c = stem_conv(det_vars, x0)
                         y_lo, t = det_trunk_fs_seam.apply(det_vars, s1c)

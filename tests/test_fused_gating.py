@@ -26,20 +26,28 @@ def test_default_plan_tail_on_tpu_only(ocr, monkeypatch):
     import jax
 
     expected_tail = jax.default_backend() == "tpu"
-    assert ocr._fused_kernel_plan(960) == (False, expected_tail)
+    assert ocr._fused_kernel_plan(960, 640) == (False, expected_tail, False)
 
 
 def test_explicit_none_disables_tail(ocr, monkeypatch):
     for v in ("none", "off", "", "0"):
         monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", v)
-        assert ocr._fused_kernel_plan(960) == (False, False)
+        assert ocr._fused_kernel_plan(960, 640) == (False, False, False)
 
 
 def test_stem_requires_tail(ocr, monkeypatch):
     monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", "stem")
-    use_stem, use_tail = ocr._fused_kernel_plan(960)
+    use_stem, use_tail, use_cpool = ocr._fused_kernel_plan(960, 640)
     assert use_stem is False  # silently-on would measure the baseline
     assert use_tail is False
+    assert use_cpool is False
+
+
+def test_cpool_requires_tail(ocr, monkeypatch):
+    """cpool rides the seam tail path: alone it must resolve off (and
+    off-TPU everything is off regardless)."""
+    monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", "cpool")
+    assert ocr._fused_kernel_plan(960, 640) == (False, False, False)
 
 
 def test_fused_impl_default_is_pallas(monkeypatch):

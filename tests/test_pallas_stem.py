@@ -104,3 +104,32 @@ def test_fused_conv12_pool_matches_flax_chain():
     assert got.shape == ref.shape == (2, 32, 24, 64)
     d = np.max(np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32)))
     assert d < 3e-2, d
+
+
+@pytest.mark.slow
+def test_cpool_seam_composition_matches_full_model():
+    """The complete cpool serving composition — VggStemPrefix ->
+    fused_conv12_pool -> VGG_UNetTrunk(from_pool=True, seam=True) ->
+    fused_tail_scores_cs_seam — matches the plain VGG_UNet score maps.
+    This is the exact op chain ``detector_scores`` runs when the plan
+    resolves (use_cpool=True, tail_is_cs=True)."""
+    from lightly_ocr_tpu.models.vgg_unet import VGG_UNetTrunk
+    from lightly_ocr_tpu.ops.pallas_stem import fused_conv12_pool
+    from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores_cs_seam
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 96, 64, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(4), x)
+
+    y_ref, _ = VGG_UNet(dtype=jnp.bfloat16).apply(v, x)
+
+    x0 = VggStemPrefix(dtype=jnp.bfloat16).apply(v, x)
+    p1 = fused_conv12_pool(v, x0, interpret=True)
+    trunk = VGG_UNetTrunk(dtype=jnp.bfloat16, from_pool=True, seam=True)
+    y_lo, t = trunk.apply(v, p1)
+    y = fused_tail_scores_cs_seam(v, y_lo, t, interpret=True)
+    w2 = x.shape[2] // 2
+    got = np.moveaxis(np.asarray(y), 2, 3)[:, :, :w2]
+    assert got.shape == y_ref.shape
+    d = np.max(np.abs(got - np.asarray(y_ref, np.float32)))
+    assert d < 7e-3, d

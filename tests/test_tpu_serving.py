@@ -69,13 +69,13 @@ def test_fused_and_plain_serving_agree(monkeypatch):
     imgs[1, 60:80, 20:70] = 35
 
     ocr_plain = _build(monkeypatch, "none")
-    assert ocr_plain._fused_kernel_plan(192) == (False, False)
+    assert ocr_plain._fused_kernel_plan(192, 128) == (False, False, False)
     out_plain = ocr_plain.run_images(list(imgs))
 
     ocr_fused = _build(monkeypatch, "tail")
     # the plan must actually resolve the tail ON for this test to gate
     # anything — guard against silent fallbacks
-    assert ocr_fused._fused_kernel_plan(192) == (False, True)
+    assert ocr_fused._fused_kernel_plan(192, 128) == (False, True, False)
     out_fused = ocr_fused.run_images(list(imgs))
 
     assert len(out_plain) == len(out_fused) == 2
