@@ -253,6 +253,127 @@ class UpConv(nn.Module):
         )
 
 
+class _Split1x1(nn.Module):
+    """The 1x1 of an :class:`UpConv`, applied ACROSS the concat seam:
+
+        conv1x1(concat([up(y), t])) == up(conv1x1_a(y)) + conv1x1_b(t)
+
+    (both maps are linear).  Parameter tree identical to the joint conv
+    (one ``kernel [1, 1, cy+ct, mid]`` + ``bias``), split at apply
+    time, so the same variable tree serves :class:`UpConv` and
+    :class:`UpConvSeam`.  The y-half contracts at y's native (lower)
+    resolution; when the resolutions already match (upconv1) no
+    upsample is inserted.
+
+    Quant mode mirrors :class:`~lightly_ocr_tpu.models.layers.QuantConv`
+    (same int8 gate on the JOINT channel counts, same per-out-channel
+    weight scale computed from the joint kernel); each half's
+    activations quantize independently per-sample — a finer grouping
+    than the joint concat's single amax, covered by the int8 parity
+    gates."""
+
+    cy: int
+    mid: int
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, y: jax.Array, t: jax.Array) -> jax.Array:
+        cin = self.cy + t.shape[-1]
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, cin, self.mid),
+            jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.mid,), jnp.float32
+        )
+        kf = k[0, 0]
+        ka, kb = kf[: self.cy], kf[self.cy :]
+
+        if self.quant and min(cin, self.mid) >= 128:
+            sw = (
+                jnp.maximum(jnp.max(jnp.abs(kf), axis=0), 1e-12) / 127.0
+            )  # [mid] — joint per-out-channel scale (QuantConv parity)
+
+            def qdot(x, kk):
+                xf = x.astype(jnp.float32)
+                sx = (
+                    jnp.maximum(
+                        jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True),
+                        1e-12,
+                    )
+                    / 127.0
+                )
+                xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+                kq = jnp.clip(jnp.round(kk / sw), -127, 127).astype(jnp.int8)
+                o = jax.lax.dot_general(
+                    xq, kq,
+                    (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return o.astype(jnp.float32) * (sx * sw)
+
+            a, bb = qdot(y, ka), qdot(t, kb)
+        else:
+
+            def fdot(x, kk):
+                return jax.lax.dot_general(
+                    x.astype(self.dtype), kk.astype(self.dtype),
+                    (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            a, bb = fdot(y, ka), fdot(t, kb)
+
+        if y.shape[1:3] != t.shape[1:3]:
+            a = _upsample_to(a, t.shape[1], t.shape[2])
+        return (a + bb + b).astype(self.dtype)
+
+
+class UpConvSeam(nn.Module):
+    """Seam-split U-Net decoder block: same parameter tree as
+    :class:`UpConv` (``conv/{0,1,3,4}``) but consumes the PRE-concat
+    (y, skip) pair — the concat buffer never materializes and the
+    1x1's y-half runs at y's resolution (see :class:`_Split1x1`).
+    Serving-path counterpart of ``vgg_bn.py:23-31``; used by
+    :class:`VGG_UNetTrunk` with ``seam=True``."""
+
+    cy: int
+    mid: int
+    out: int
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(
+        self, y: jax.Array, t: jax.Array, train: bool = False
+    ) -> jax.Array:
+        class _Seq(nn.Module):
+            cy: int
+            mid: int
+            out: int
+            dtype: Dtype
+            quant: bool
+
+            @nn.compact
+            def __call__(self, y, t, train):
+                x = _Split1x1(
+                    self.cy, self.mid, self.dtype, self.quant, name="0"
+                )(y, t)
+                x = nn.relu(batch_norm(train, "1", self.dtype)(x))
+                x = conv(
+                    self.out, (3, 3), name="3", dtype=self.dtype,
+                    quant=self.quant,
+                )(x)
+                x = nn.relu(batch_norm(train, "4", self.dtype)(x))
+                return x
+
+        return _Seq(self.cy, self.mid, self.out, self.dtype, self.quant,
+                    name="conv")(y, t, train)
+
+
 def _upsample_to(x: jax.Array, h: int, w: int) -> jax.Array:
     """Bilinear upsample (torch interpolate align_corners=False ==
     half-pixel-center resize)."""
@@ -364,6 +485,19 @@ class VGG_UNetTrunk(nn.Module):
             bb = VggBackbone
         s = bb(self.dtype, self.quant, name="basenet")(x, train)
 
+        if self.seam:
+            # seam-split decoder: every upsample+concat folds into its
+            # UpConv's linear 1x1 (see _Split1x1) — no concat buffer
+            # ever materializes, and each 1x1's y-half contracts at the
+            # LOWER resolution.  Same variable tree as the concat form.
+            y = UpConvSeam(1024, 512, 256, self.dtype, self.quant,
+                           name="upconv1")(s["fc7"], s["slice4"], train)
+            y = UpConvSeam(256, 256, 128, self.dtype, self.quant,
+                           name="upconv2")(y, s["slice3"], train)
+            y = UpConvSeam(128, 128, 64, self.dtype, self.quant,
+                           name="upconv3")(y, s["slice2"], train)
+            return y, s["slice1"]  # pair for fused_tail_scores_cs_seam
+
         y = jnp.concatenate([s["fc7"], s["slice4"]], axis=-1)  # H/16
         y = UpConv(512, 256, self.dtype, self.quant, name="upconv1")(y, train)
 
@@ -378,7 +512,5 @@ class VGG_UNetTrunk(nn.Module):
         y = UpConv(128, 64, self.dtype, self.quant, name="upconv3")(y, train)
 
         t = s["slice1"]  # H/2
-        if self.seam:
-            return y, t  # pre-seam pair for fused_tail_scores_cs_seam
         y = _upsample_to(y, t.shape[1], t.shape[2])
         return jnp.concatenate([y, t], axis=-1)  # [B, H/2, W/2, 192]

@@ -79,3 +79,36 @@ def test_seam_split_matches_concat_tail():
     w2 = x.shape[2] // 2
     cl = np.moveaxis(np.asarray(got), 2, 3)[:, :, :w2]
     assert np.max(np.abs(cl - np.asarray(y_flax, np.float32))) < 5e-3
+
+
+@pytest.mark.slow
+def test_seam_trunk_quant_matches_concat_trunk():
+    """Quant-mode seam decoder (per-half int8 1x1s with the JOINT
+    weight scale) vs the concat trunk's QuantConv 1x1s: same int8
+    gates, finer activation grouping — differences bounded well inside
+    the serving int8 parity tolerances."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 96, 64, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(5), x)
+
+    y192 = VGG_UNetTrunk(dtype=jnp.bfloat16, quant=True).apply(v, x)
+    y_lo, t = VGG_UNetTrunk(
+        dtype=jnp.bfloat16, quant=True, seam=True
+    ).apply(v, x)
+
+    # reconstruct the concat form from the seam pair's tail inputs
+    from lightly_ocr_tpu.models.vgg_unet import _upsample_to
+
+    up = np.asarray(
+        _upsample_to(y_lo, t.shape[1], t.shape[2]), np.float32
+    )
+    ref = np.asarray(y192, np.float32)
+    got = np.concatenate([up, np.asarray(t, np.float32)], axis=-1)
+    assert got.shape == ref.shape
+    # int8 per-half quantization reorders roundoff; activations are
+    # O(1) post-BN, bound absolutely
+    d = np.max(np.abs(got - ref))
+    assert d < 0.15, d
+    # and the overwhelming majority of positions agree tightly
+    frac = np.mean(np.abs(got - ref) < 0.02)
+    assert frac > 0.98, frac
