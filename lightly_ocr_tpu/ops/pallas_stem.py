@@ -283,10 +283,17 @@ def _conv_pool_kernel(rows, wk_ref, b_ref, xp_hbm, out_ref, slabs, sems):
     # cols via the pair-lane reshape ([R/2, W, 64] -> [R/2, W/2, 128]
     # puts each column pair's channels side by side on the lane dim —
     # W is the sublane dim so this is one in-VMEM relayout, far
-    # cheaper than an HBM round-trip)
+    # cheaper than an HBM round-trip).  LIGHTLY_OCR_CPOOL_POOL=strided
+    # selects sublane-strided slices instead (numerically identical) —
+    # the Mosaic-feasibility hedge, both interpret-parity-tested.
     rmax = jnp.maximum(a[0::2], a[1::2])  # [R/2, W, 64]
-    r2 = rmax.reshape(R // 2, W // 2, 128)
-    cmax = jnp.maximum(r2[:, :, 0:64], r2[:, :, 64:128])
+    import os
+
+    if os.environ.get("LIGHTLY_OCR_CPOOL_POOL", "").strip() == "strided":
+        cmax = jnp.maximum(rmax[:, 0::2], rmax[:, 1::2])
+    else:
+        r2 = rmax.reshape(R // 2, W // 2, 128)
+        cmax = jnp.maximum(r2[:, :, 0:64], r2[:, :, 64:128])
     out_ref[0] = cmax.astype(out_ref.dtype)
 
 
