@@ -106,6 +106,8 @@ _SLICE1_PREFIX = (("C", 0, 64), ("R",))
 _SLICE1_POST = (("P",), ("C", 7, 128), ("R",), ("C", 10, 128), ("R",))
 # resume AFTER the pool (the fused conv1_2+pool kernel already pooled)
 _SLICE1_FROMPOOL = (("C", 7, 128), ("R",), ("C", 10, 128), ("R",))
+# resume AFTER conv2_1 (the fused conv1_2+pool+conv2_1 kernel)
+_SLICE1_FROMC21 = (("C", 10, 128), ("R",))
 
 
 class VggStemPrefix(nn.Module):
@@ -170,6 +172,29 @@ class _FromPoolBasenet(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False):
         outs = {}
         x = _VggSlice(_SLICE1_FROMPOOL, self.dtype, self.quant,
+                      name="slice1")(x, train)
+        outs["slice1"] = x
+        for name in ("slice2", "slice3", "slice4"):
+            x = _VggSlice(
+                tuple(_VGG_SLICES[name]), self.dtype, self.quant, name=name
+            )(x, train)
+            outs[name] = x
+        outs["fc7"] = _Slice5(self.dtype, self.quant, name="slice5")(x)
+        return outs
+
+
+class _FromC21Basenet(nn.Module):
+    """Backbone resuming from the fused conv1_2+pool+CONV2_1 activation
+    ([B, H/2, W/2, 128], :func:`~lightly_ocr_tpu.ops.pallas_stem.
+    fused_conv12_pool_conv21`): conv2_2, then slices 2-5."""
+
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        outs = {}
+        x = _VggSlice(_SLICE1_FROMC21, self.dtype, self.quant,
                       name="slice1")(x, train)
         outs["slice1"] = x
         for name in ("slice2", "slice3", "slice4"):
@@ -468,6 +493,7 @@ class VGG_UNetTrunk(nn.Module):
     quant: bool = False
     from_stem: bool = False
     from_pool: bool = False
+    from_c21: bool = False
     seam: bool = False
 
     @nn.compact
@@ -477,7 +503,9 @@ class VGG_UNetTrunk(nn.Module):
                 "quant=True is an inference-only mode (zero-gradient "
                 "rounding); train in float."
             )
-        if self.from_pool:
+        if self.from_c21:
+            bb = _FromC21Basenet
+        elif self.from_pool:
             bb = _FromPoolBasenet
         elif self.from_stem:
             bb = _FromStemBasenet

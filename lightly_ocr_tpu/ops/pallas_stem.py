@@ -377,3 +377,176 @@ def fused_conv12_pool(
         ),
         interpret=interpret,
     )(wk, bias, xp)
+
+
+# ---------------------------------------------------------------------------
+# phase 2: conv1_2 + pool + conv2_1 in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _conv_pool_conv_kernel(
+    rows, h, w,
+    wk1_ref, b1_ref, wk2_ref, b2_ref,
+    xp_hbm, out_ref, slabs, sems,
+):
+    """One (batch, row-block) step: [rows+8, Wp, 128] slab ->
+    conv2_1 output [rows/2, W/2, 128].
+
+    Extends :func:`_conv_pool_kernel` one stage deeper: the pooled
+    activation stays in VMEM and conv2_1 (64->128, the next
+    lane-starved XLA stage at 72 T/s-eq) runs as a second packed dot
+    (K=3*64, N=3*128) on it.  Boundary discipline: the pooled feature
+    map's SAME-conv ring must read ZERO (the XLA graph pads the pooled
+    map itself), but pool-of-conv at image edges is nonzero — the ring
+    is explicitly rezeroed via iota masks before the second dot, same
+    trick as the tail kernel's rezero.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    nsteps = pl.num_programs(0) * ni
+
+    def dma(b_, i_, slot):
+        return pltpu.make_async_copy(
+            xp_hbm.at[b_, pl.ds(i_ * rows, rows + 8)],
+            slabs.at[slot],
+            sems.at[slot],
+        )
+
+    k = b * ni + i
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _():
+        dma(b, i, slot).start()
+
+    @pl.when(k + 1 < nsteps)
+    def _():
+        kn = k + 1
+        dma(kn // ni, jax.lax.rem(kn, ni), jax.lax.rem(kn, 2)).start()
+
+    dma(b, i, slot).wait()
+    slab = slabs[slot]  # [rows+8, Wp, 128]; image row iR+s-4 at slab s
+    R = rows
+    Wp = slab.shape[1]
+    S1 = R + 4  # conv1_2 rows: image rows [iR-2, iR+R+2)
+
+    # --- conv1_2 (packed single dot) + bias + ReLU ------------------
+    xr = jnp.concatenate(
+        [slab[1 + u : 1 + u + S1, :, 0:64] for u in range(3)], axis=-1
+    )
+    y = jax.lax.dot_general(
+        xr.reshape(S1 * Wp, 192),
+        wk1_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(S1, Wp, 192)
+    Wc = w + 4  # conv cols: image cols [-2, W+2)
+    acc = y[:, 1 : 1 + Wc, 0:64]
+    for v in (1, 2):
+        acc = acc + y[:, 1 + v : 1 + v + Wc, v * 64 : (v + 1) * 64]
+    a1 = jnp.maximum(acc + b1_ref[:].reshape(1, 1, -1), 0.0)
+
+    # --- 2x2 pool (rows: dim-0 strided; cols: pair-lane reshape) ----
+    # pad cols so the paired width stays 8-aligned: Wc=W+4 -> W+16
+    a1 = jnp.pad(a1, ((0, 0), (0, 12), (0, 0)))
+    rmax = jnp.maximum(a1[0::2], a1[1::2])       # [R/2+2, W+16, 64]
+    r2 = rmax.reshape(R // 2 + 2, (w + 16) // 2, 128)
+    p2 = jnp.maximum(r2[:, :, 0:64], r2[:, :, 64:128])
+    # p2[t, d] = pooled image (iR/2 - 1 + t, d - 1)
+
+    # --- rezero the SAME-conv ring of the pooled map ----------------
+    pr = (
+        jax.lax.broadcasted_iota(jnp.int32, p2.shape, 0)
+        + (i * (R // 2) - 1)
+    )
+    pc = jax.lax.broadcasted_iota(jnp.int32, p2.shape, 1) - 1
+    ok = (pr >= 0) & (pr < h // 2) & (pc >= 0) & (pc < w // 2)
+    p2 = jnp.where(ok, p2, jnp.zeros_like(p2)).astype(jnp.bfloat16)
+
+    # --- conv2_1 (packed single dot) + bias + ReLU ------------------
+    R2 = R // 2
+    W2p = p2.shape[1]
+    xr2 = jnp.concatenate(
+        [p2[u : u + R2] for u in range(3)], axis=-1
+    )  # [R/2, W2p, 192]
+    y2 = jax.lax.dot_general(
+        xr2.reshape(R2 * W2p, 192),
+        wk2_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(R2, W2p, 384)
+    acc2 = y2[:, 0 : w // 2, 0:128]
+    for v in (1, 2):
+        acc2 = acc2 + y2[:, v : v + w // 2, v * 128 : (v + 1) * 128]
+    o = jnp.maximum(acc2 + b2_ref[:].reshape(1, 1, -1), 0.0)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def conv21_params(variables: dict) -> tuple:
+    """([192, 384] packed conv2_1 kernel with BN folded, [1, 1, 128]
+    bias) — torch indices 7 (conv) / 8 (bn) of slice1."""
+    from lightly_ocr_tpu.ops.pallas_tail import _wtap
+
+    p = variables["params"]["basenet"]["slice1"]
+    bs = variables["batch_stats"]["basenet"]["slice1"]
+    k, b = fold_bn(
+        p["7"]["kernel"], p["7"]["bias"],
+        p["8"]["scale"], p["8"]["bias"],
+        bs["8"]["mean"], bs["8"]["var"],
+    )
+    return _wtap(k), jnp.asarray(b, jnp.float32).reshape(1, 1, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_conv12_pool_conv21(
+    variables: dict, x0: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """conv1_1 activation [B, H, W, 64] ->
+    ReLU(BN(conv2_1(pool(ReLU(BN(conv1_2)))))) [B, H/2, W/2, 128].
+
+    One stage deeper than :func:`fused_conv12_pool`: the two most
+    lane-starved slice1 stages (conv1_2 @76 and conv2_1 @72 T/s-eq in
+    XLA — BENCH.md trunk profile) run as two packed near-dense dots on
+    a VMEM-resident slab; neither the full-res conv1_2 activation nor
+    the pooled map round-trips HBM.  Backbone resumes at conv2_2
+    (``VGG_UNetTrunk(from_c21=True)``).
+    """
+    B, H, W, C = x0.shape
+    if C != 64:
+        raise ValueError(f"fused cpool2 expects 64 channels, got {C}")
+    if W % 16:
+        raise ValueError(f"fused cpool2: W={W} not a multiple of 16")
+    rows = _pick_rows_even(H)
+    if rows == 0:
+        raise ValueError(f"fused cpool2: H={H} has no even row split")
+    wk1, b1 = conv12_params(variables)
+    wk2, b2 = conv21_params(variables)
+
+    xp = jnp.pad(
+        x0.astype(jnp.bfloat16), ((0, 0), (4, 4), (4, 4), (0, 64))
+    )
+
+    kernel = functools.partial(_conv_pool_conv_kernel, rows, H, W)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // rows),
+        in_specs=[wspec] * 4 + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, rows // 2, W // 2, 128), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, H // 2, W // 2, 128), jnp.bfloat16
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + 8, W + 8, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(wk1, b1, wk2, b2, xp)

@@ -75,6 +75,9 @@ class BatchedOCR:
         self.det_trunk_pool_seam = VGG_UNetTrunk(
             dtype=dtype, quant=cfg.quant_int8, from_pool=True, seam=True
         )
+        self.det_trunk_c21_seam = VGG_UNetTrunk(
+            dtype=dtype, quant=cfg.quant_int8, from_c21=True, seam=True
+        )
         self.rec_net = CRNNet(cfg, dtype=dtype, quant=cfg.quant_int8)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
@@ -123,16 +126,21 @@ class BatchedOCR:
             and not self.cfg.quant_int8
             and "stem" in enabled
         )
-        # conv1_2+pool fused kernel (opt-in pending device A/B): rides
-        # the seam tail path, so it requires use_tail and the Pallas
-        # impl; mutually exclusive with the old stem (both replace
-        # conv1_2)
-        use_cpool = (
+        # conv1_2+pool fused kernels (opt-in pending device A/B): ride
+        # the seam tail path, so they require use_tail and the Pallas
+        # impl; mutually exclusive with the old stem (all replace
+        # conv1_2).  "cpool" = conv1_2+pool; "cpool2" = one stage
+        # deeper (conv1_2+pool+conv2_1) — use_cpool carries which.
+        use_cpool: bool | str = False
+        if (
             use_tail
             and not use_stem
             and conv_pool_supported(h, w or 16)
-            and "cpool" in enabled
-        )
+        ):
+            if "cpool2" in enabled:
+                use_cpool = "c21"
+            elif "cpool" in enabled:
+                use_cpool = "pool"
         # warn only on EXPLICIT requests that cannot be honored — the
         # default-on tail silently falls back off-TPU / at odd heights
         if explicit and "tail" in enabled and not use_tail:
@@ -154,7 +162,11 @@ class BatchedOCR:
                 "fused tail enabled, a supported canvas height, and "
                 "quant_int8 off) — running without it"
             )
-        if explicit and "cpool" in enabled and not use_cpool:
+        if (
+            explicit
+            and ({"cpool", "cpool2"} & enabled)
+            and not use_cpool
+        ):
             import logging
 
             logging.getLogger(__name__).warning(
@@ -200,6 +212,7 @@ class BatchedOCR:
         det_trunk_seam = self.det_trunk_seam
         det_trunk_fs_seam = self.det_trunk_fs_seam
         det_trunk_pool_seam = self.det_trunk_pool_seam
+        det_trunk_c21_seam = self.det_trunk_c21_seam
         plan_for = self._fused_kernel_plan
 
         fused_impls = self._fused_impls
@@ -229,7 +242,15 @@ class BatchedOCR:
                     # tail folds the seam into upconv4's linear 1x1
                     # (fused_tail_scores_cs_seam) — the 192-ch H/2
                     # concat never materializes.
-                    if use_cpool:
+                    if use_cpool == "c21":
+                        from lightly_ocr_tpu.ops.pallas_stem import (
+                            fused_conv12_pool_conv21,
+                        )
+
+                        x0 = det_stem.apply(det_vars, canvases)
+                        p1 = fused_conv12_pool_conv21(det_vars, x0)
+                        y_lo, t = det_trunk_c21_seam.apply(det_vars, p1)
+                    elif use_cpool:
                         from lightly_ocr_tpu.ops.pallas_stem import (
                             fused_conv12_pool,
                         )

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from lightly_ocr_tpu.models.vgg_unet import VGG_UNet, _VggSlice
-from lightly_ocr_tpu.ops.pallas_stem import fused_conv12_pool
+from lightly_ocr_tpu.ops.pallas_stem import (
+    fused_conv12_pool,
+    fused_conv12_pool_conv21,
+)
 
 B, H, W = 16, 960, 640
 
@@ -44,17 +47,20 @@ def timeit(tag, fn, *args, n=6):
 
 
 class _RefChain(nn.Module):
-    """conv1_2 + BN + ReLU + pool only (consumes the conv1_1
-    activation, like the kernel)."""
+    """The flax chain a kernel replaces (consumes the conv1_1
+    activation, like the kernels)."""
+
+    ops: tuple = (("C", 3, 64), ("R",), ("P",))
 
     @nn.compact
     def __call__(self, x):
+        ops = self.ops
+
         class B(nn.Module):
             @nn.compact
             def __call__(self, x):
                 return _VggSlice(
-                    (("C", 3, 64), ("R",), ("P",)), jnp.bfloat16, False,
-                    name="slice1",
+                    ops, jnp.bfloat16, False, name="slice1",
                 )(x, False)
 
         return B(name="basenet")(x)
@@ -77,8 +83,20 @@ def main():
 
     a = np.asarray(yr, np.float32)
     b = np.asarray(yf, np.float32)
-    print(f"maxdiff {np.max(np.abs(a - b)):.2e}", flush=True)
-    print(f"speedup A/B: {tr / tf:.3f}x", flush=True)
+    print(f"phase-1 maxdiff {np.max(np.abs(a - b)):.2e}", flush=True)
+    print(f"phase-1 speedup A/B: {tr / tf:.3f}x", flush=True)
+
+    # phase 2: one stage deeper (conv2_1 fused as well)
+    ops2 = (("C", 3, 64), ("R",), ("P",), ("C", 7, 128), ("R",))
+    ref2_fn = jax.jit(lambda v, x: _RefChain(ops2).apply(v, x))
+    fused2_fn = jax.jit(lambda v, x: fused_conv12_pool_conv21(v, x))
+
+    yr2, tr2 = timeit("C xla  +conv2_1   ", ref2_fn, v, x0)
+    yf2, tf2 = timeit("D fused+conv2_1   ", fused2_fn, v, x0)
+    a2 = np.asarray(yr2, np.float32)
+    b2 = np.asarray(yf2, np.float32)
+    print(f"phase-2 maxdiff {np.max(np.abs(a2 - b2)):.2e}", flush=True)
+    print(f"phase-2 speedup C/D: {tr2 / tf2:.3f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -133,3 +133,31 @@ def test_cpool_seam_composition_matches_full_model():
     assert got.shape == y_ref.shape
     d = np.max(np.abs(got - np.asarray(y_ref, np.float32)))
     assert d < 7e-3, d
+
+
+@pytest.mark.slow
+def test_cpool2_seam_composition_matches_full_model():
+    """The deepest fused composition — VggStemPrefix ->
+    fused_conv12_pool_conv21 -> VGG_UNetTrunk(from_c21=True, seam=True)
+    -> fused_tail_scores_cs_seam — matches plain VGG_UNet (the exact
+    op chain detector_scores runs at use_cpool='c21')."""
+    from lightly_ocr_tpu.models.vgg_unet import VGG_UNetTrunk
+    from lightly_ocr_tpu.ops.pallas_stem import fused_conv12_pool_conv21
+    from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores_cs_seam
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 96, 64, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(6), x)
+
+    y_ref, _ = VGG_UNet(dtype=jnp.bfloat16).apply(v, x)
+
+    x0 = VggStemPrefix(dtype=jnp.bfloat16).apply(v, x)
+    p1 = fused_conv12_pool_conv21(v, x0, interpret=True)
+    trunk = VGG_UNetTrunk(dtype=jnp.bfloat16, from_c21=True, seam=True)
+    y_lo, t = trunk.apply(v, p1)
+    y = fused_tail_scores_cs_seam(v, y_lo, t, interpret=True)
+    w2 = x.shape[2] // 2
+    got = np.moveaxis(np.asarray(y), 2, 3)[:, :, :w2]
+    assert got.shape == y_ref.shape
+    d = np.max(np.abs(got - np.asarray(y_ref, np.float32)))
+    assert d < 7e-3, d
