@@ -133,68 +133,28 @@ class VggStemPrefix(nn.Module):
         return _B(self.dtype, self.quant, name="basenet")(x, train)
 
 
-class _FromStemBasenet(nn.Module):
-    """Backbone resuming from the fused conv1_2 activation: the rest of
-    slice1 (pool + the two 128-channel convs), then slices 2-5.  Param
-    names coincide with :class:`VggBackbone` so one variable tree serves
-    both (flax ignores the prefix params this module never reads)."""
+class _ResumeBasenet(nn.Module):
+    """Backbone resuming mid-slice1 from a fused-kernel activation:
+    ``slice1_ops`` is the remaining slice1 tail, then slices 2-5.
+    Param names coincide with :class:`VggBackbone` so one variable tree
+    serves both (flax ignores the prefix params this module never
+    reads).  The three resume points:
+
+    * ``_SLICE1_POST``     — after fused conv1_2 (``fused_stem_conv``)
+    * ``_SLICE1_FROMPOOL`` — after fused conv1_2+pool
+      (``fused_conv12_pool``)
+    * ``_SLICE1_FROMC21``  — after fused conv1_2+pool+conv2_1
+      (``fused_conv12_pool_conv21``)
+    """
 
     dtype: Dtype = jnp.float32
     quant: bool = False
+    slice1_ops: tuple = ()
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         outs = {}
-        x = _VggSlice(_SLICE1_POST, self.dtype, self.quant, name="slice1")(
-            x, train
-        )
-        outs["slice1"] = x
-        for name in ("slice2", "slice3", "slice4"):
-            x = _VggSlice(
-                tuple(_VGG_SLICES[name]), self.dtype, self.quant, name=name
-            )(x, train)
-            outs[name] = x
-        outs["fc7"] = _Slice5(self.dtype, self.quant, name="slice5")(x)
-        return outs
-
-
-class _FromPoolBasenet(nn.Module):
-    """Backbone resuming from the fused conv1_2+POOL activation
-    ([B, H/2, W/2, 64], :func:`~lightly_ocr_tpu.ops.pallas_stem.
-    fused_conv12_pool`): the two 128-channel slice1 convs, then slices
-    2-5.  Param names coincide with :class:`VggBackbone` so one
-    variable tree serves both."""
-
-    dtype: Dtype = jnp.float32
-    quant: bool = False
-
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False):
-        outs = {}
-        x = _VggSlice(_SLICE1_FROMPOOL, self.dtype, self.quant,
-                      name="slice1")(x, train)
-        outs["slice1"] = x
-        for name in ("slice2", "slice3", "slice4"):
-            x = _VggSlice(
-                tuple(_VGG_SLICES[name]), self.dtype, self.quant, name=name
-            )(x, train)
-            outs[name] = x
-        outs["fc7"] = _Slice5(self.dtype, self.quant, name="slice5")(x)
-        return outs
-
-
-class _FromC21Basenet(nn.Module):
-    """Backbone resuming from the fused conv1_2+pool+CONV2_1 activation
-    ([B, H/2, W/2, 128], :func:`~lightly_ocr_tpu.ops.pallas_stem.
-    fused_conv12_pool_conv21`): conv2_2, then slices 2-5."""
-
-    dtype: Dtype = jnp.float32
-    quant: bool = False
-
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False):
-        outs = {}
-        x = _VggSlice(_SLICE1_FROMC21, self.dtype, self.quant,
+        x = _VggSlice(self.slice1_ops, self.dtype, self.quant,
                       name="slice1")(x, train)
         outs["slice1"] = x
         for name in ("slice2", "slice3", "slice4"):
@@ -503,12 +463,16 @@ class VGG_UNetTrunk(nn.Module):
                 "quant=True is an inference-only mode (zero-gradient "
                 "rounding); train in float."
             )
+        import functools
+
         if self.from_c21:
-            bb = _FromC21Basenet
+            bb = functools.partial(_ResumeBasenet, slice1_ops=_SLICE1_FROMC21)
         elif self.from_pool:
-            bb = _FromPoolBasenet
+            bb = functools.partial(
+                _ResumeBasenet, slice1_ops=_SLICE1_FROMPOOL
+            )
         elif self.from_stem:
-            bb = _FromStemBasenet
+            bb = functools.partial(_ResumeBasenet, slice1_ops=_SLICE1_POST)
         else:
             bb = VggBackbone
         s = bb(self.dtype, self.quant, name="basenet")(x, train)

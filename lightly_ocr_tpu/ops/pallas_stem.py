@@ -217,22 +217,13 @@ def fused_stem_conv(
 # ---------------------------------------------------------------------------
 
 
-def _conv_pool_kernel(rows, wk_ref, b_ref, xp_hbm, out_ref, slabs, sems):
-    """One (batch, row-block) step: [rows+2, Wp, 128] slab ->
-    pooled ReLU'd conv output [rows/2, W/2, 64].
-
-    Same structural recipe that made the tail kernel win
-    (:func:`~lightly_ocr_tpu.ops.pallas_tail._conv3_same`): the whole
-    3x3 is ONE near-dense MXU dot with K = 3C row taps (dim-0 slices,
-    offset-free lane concat) and N = 3Co w-taps (shifted output
-    slice-adds), flattened to a single tall [R*Wp, 192] matmul.  The
-    2x2 maxpool runs in-register on the f32 conv result, so the
-    full-resolution 64-channel activation (1.26 GB bf16 logical /
-    2.5 GB lane-padded at b16 960x640) never exists in HBM — the XLA
-    graph pays that write, the pool's re-read, AND a 1.9 ms layout
-    copy between them (BENCH.md trunk profile: conv1_2 9.58 + pool
-    1.98 + copy 1.89 ms).
-    """
+def _db_slab(xp_hbm, slabs, sems, rows, halo2):
+    """Double-buffered slab DMA over a (B, H//rows) grid (scratch
+    persists across sequential TPU grid steps): start step k+1's copy
+    while computing on step k's slot, so no step stalls on its own DMA
+    latency.  ``halo2`` = total halo rows (top+bottom).  Returns the
+    current slab view.  Shared by the conv-pool kernels; the tail
+    kernel carries the 3D-grid variant of the same pattern."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     ni = pl.num_programs(1)
@@ -240,7 +231,7 @@ def _conv_pool_kernel(rows, wk_ref, b_ref, xp_hbm, out_ref, slabs, sems):
 
     def dma(b_, i_, slot):
         return pltpu.make_async_copy(
-            xp_hbm.at[b_, pl.ds(i_ * rows, rows + 2)],
+            xp_hbm.at[b_, pl.ds(i_ * rows, rows + halo2)],
             slabs.at[slot],
             sems.at[slot],
         )
@@ -258,7 +249,29 @@ def _conv_pool_kernel(rows, wk_ref, b_ref, xp_hbm, out_ref, slabs, sems):
         dma(kn // ni, jax.lax.rem(kn, ni), jax.lax.rem(kn, 2)).start()
 
     dma(b, i, slot).wait()
-    slab = slabs[slot]  # [rows+2, Wp, 128]; lanes 64: are zero pad
+    return slabs[slot]
+
+
+def _conv_pool_kernel(
+    rows, pool_impl, wk_ref, b_ref, xp_hbm, out_ref, slabs, sems
+):
+    """One (batch, row-block) step: [rows+2, Wp, 128] slab ->
+    pooled ReLU'd conv output [rows/2, W/2, 64].
+
+    Same structural recipe that made the tail kernel win
+    (:func:`~lightly_ocr_tpu.ops.pallas_tail._conv3_same`): the whole
+    3x3 is ONE near-dense MXU dot with K = 3C row taps (dim-0 slices,
+    offset-free lane concat) and N = 3Co w-taps (shifted output
+    slice-adds), flattened to a single tall [R*Wp, 192] matmul.  The
+    2x2 maxpool runs in-register on the f32 conv result, so the
+    full-resolution 64-channel activation (1.26 GB bf16 logical /
+    2.5 GB lane-padded at b16 960x640) never exists in HBM — the XLA
+    graph pays that write, the pool's re-read, AND a 1.9 ms layout
+    copy between them (BENCH.md trunk profile: conv1_2 9.58 + pool
+    1.98 + copy 1.89 ms).
+    """
+    slab = _db_slab(xp_hbm, slabs, sems, rows, 2)
+    # [rows+2, Wp, 128]; lanes 64: are zero pad
     R = rows
     Wp = slab.shape[1]
     W = out_ref.shape[2] * 2  # true conv width
@@ -283,13 +296,12 @@ def _conv_pool_kernel(rows, wk_ref, b_ref, xp_hbm, out_ref, slabs, sems):
     # cols via the pair-lane reshape ([R/2, W, 64] -> [R/2, W/2, 128]
     # puts each column pair's channels side by side on the lane dim —
     # W is the sublane dim so this is one in-VMEM relayout, far
-    # cheaper than an HBM round-trip).  LIGHTLY_OCR_CPOOL_POOL=strided
-    # selects sublane-strided slices instead (numerically identical) —
-    # the Mosaic-feasibility hedge, both interpret-parity-tested.
+    # cheaper than an HBM round-trip).  pool_impl="strided" selects
+    # sublane-strided slices instead (numerically identical) — the
+    # Mosaic-feasibility hedge.  Both variants are parity-tested
+    # (tests/test_pallas_stem.py parametrizes pool_impl).
     rmax = jnp.maximum(a[0::2], a[1::2])  # [R/2, W, 64]
-    import os
-
-    if os.environ.get("LIGHTLY_OCR_CPOOL_POOL", "").strip() == "strided":
+    if pool_impl == "strided":
         cmax = jnp.maximum(rmax[:, 0::2], rmax[:, 1::2])
     else:
         r2 = rmax.reshape(R // 2, W // 2, 128)
@@ -326,9 +338,11 @@ def conv_pool_supported(h: int, w: int) -> bool:
     return h % 2 == 0 and w % 16 == 0 and _pick_rows_even(h) != 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_conv12_pool(
-    variables: dict, x0: jax.Array, interpret: bool = False
+    variables: dict,
+    x0: jax.Array,
+    interpret: bool = False,
+    pool_impl: str | None = None,
 ) -> jax.Array:
     """conv1_1 activation [B, H, W, 64] -> pool2x2(ReLU(BN(conv1_2)))
     [B, H/2, W/2, 64].
@@ -339,7 +353,31 @@ def fused_conv12_pool(
     (:class:`~lightly_ocr_tpu.models.vgg_unet.VGG_UNetTrunk` with
     ``from_pool=True``).  Numerics: tests/test_pallas_stem.py
     (interpret) + scripts/check_conv_pool_hw.py (device).
+
+    ``pool_impl``: ``"reshape"`` (default) or ``"strided"`` — the
+    in-kernel column-pool lowering; resolved here (NOT at trace time
+    inside the kernel) from ``LIGHTLY_OCR_CPOOL_POOL`` when None, and
+    passed as a jit static so in-process flips retrace correctly.
     """
+    if pool_impl is None:
+        import os
+
+        pool_impl = (
+            os.environ.get("LIGHTLY_OCR_CPOOL_POOL", "").strip()
+            or "reshape"
+        )
+    return _fused_conv12_pool(variables, x0, interpret, pool_impl)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "pool_impl")
+)
+def _fused_conv12_pool(
+    variables: dict,
+    x0: jax.Array,
+    interpret: bool = False,
+    pool_impl: str = "reshape",
+) -> jax.Array:
     B, H, W, C = x0.shape
     if C != 64:
         raise ValueError(f"fused conv1_2+pool expects 64 channels, got {C}")
@@ -356,7 +394,7 @@ def fused_conv12_pool(
         x0.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1 + wpad), (0, 64))
     )
 
-    kernel = functools.partial(_conv_pool_kernel, rows)
+    kernel = functools.partial(_conv_pool_kernel, rows, pool_impl)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -401,32 +439,9 @@ def _conv_pool_conv_kernel(
     is explicitly rezeroed via iota masks before the second dot, same
     trick as the tail kernel's rezero.
     """
-    b = pl.program_id(0)
     i = pl.program_id(1)
-    ni = pl.num_programs(1)
-    nsteps = pl.num_programs(0) * ni
-
-    def dma(b_, i_, slot):
-        return pltpu.make_async_copy(
-            xp_hbm.at[b_, pl.ds(i_ * rows, rows + 8)],
-            slabs.at[slot],
-            sems.at[slot],
-        )
-
-    k = b * ni + i
-    slot = jax.lax.rem(k, 2)
-
-    @pl.when(k == 0)
-    def _():
-        dma(b, i, slot).start()
-
-    @pl.when(k + 1 < nsteps)
-    def _():
-        kn = k + 1
-        dma(kn // ni, jax.lax.rem(kn, ni), jax.lax.rem(kn, 2)).start()
-
-    dma(b, i, slot).wait()
-    slab = slabs[slot]  # [rows+8, Wp, 128]; image row iR+s-4 at slab s
+    slab = _db_slab(xp_hbm, slabs, sems, rows, 8)
+    # [rows+8, Wp, 128]; image row i*rows + s - 4 at slab row s
     R = rows
     Wp = slab.shape[1]
     S1 = R + 4  # conv1_2 rows: image rows [iR-2, iR+R+2)

@@ -89,8 +89,12 @@ class BatchedOCR:
         self._program = self._build()
         self._compiled: dict = {}  # (shapes/dtypes) -> AOT executable
 
-    def _fused_kernel_plan(self, h: int, w: int = 0) -> tuple[bool, bool, bool]:
-        """(use_stem, use_tail, use_cpool) for canvas ``(h, w)`` — TPU only.
+    def _fused_kernel_plan(
+        self, h: int, w: int
+    ) -> "tuple[bool, bool, bool | str]":
+        """(use_stem, use_tail, use_cpool) for canvas ``(h, w)`` — TPU
+        only.  ``use_cpool`` is ``False`` or the fused-stem depth to
+        run: ``"pool"`` (conv1_2+pool) / ``"c21"`` (+conv2_1).
 
         The Pallas TAIL is ON by default on TPU: with the packed
         single-dot kernel it beats the plain flax graph on device
@@ -135,7 +139,8 @@ class BatchedOCR:
         if (
             use_tail
             and not use_stem
-            and conv_pool_supported(h, w or 16)
+            and conv_pool_supported(h, w)
+            and self._fused_impls()[2]  # Pallas (channels-second) impl
         ):
             if "cpool2" in enabled:
                 use_cpool = "c21"
@@ -171,8 +176,9 @@ class BatchedOCR:
 
             logging.getLogger(__name__).warning(
                 "fused conv1_2+pool requested but not active (requires "
-                "the fused Pallas tail, an even-split canvas, and no "
-                "'stem' in the enable set) — running without it"
+                "the fused Pallas tail with the Pallas impl — not "
+                "rowpack —, an even-split canvas, and no 'stem' in the "
+                "enable set) — running without it"
             )
         return use_stem, use_tail, use_cpool
 

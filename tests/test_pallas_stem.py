@@ -71,7 +71,8 @@ def test_fused_stem_conv_row_blocks():
 
 
 @pytest.mark.slow
-def test_fused_conv12_pool_matches_flax_chain():
+@pytest.mark.parametrize("pool_impl", ["reshape", "strided"])
+def test_fused_conv12_pool_matches_flax_chain(pool_impl):
     """conv1_2+BN+ReLU+pool fused (interpret) == the flax slice chain.
     Covers the packed single dot (K=3C row taps, N=3Co w-taps), the
     in-register 2x2 pool (dim-0 strided rows + pair-lane reshape cols),
@@ -100,7 +101,7 @@ def test_fused_conv12_pool_matches_flax_chain():
 
     ref = RefMod().apply(v, x)
     x0 = VggStemPrefix(dtype=jnp.bfloat16).apply(v, x)
-    got = fused_conv12_pool(v, x0, interpret=True)
+    got = fused_conv12_pool(v, x0, interpret=True, pool_impl=pool_impl)
     assert got.shape == ref.shape == (2, 32, 24, 64)
     d = np.max(np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32)))
     assert d < 3e-2, d
