@@ -112,3 +112,25 @@ def test_seam_trunk_quant_matches_concat_trunk():
     # and the overwhelming majority of positions agree tightly
     frac = np.mean(np.abs(got - ref) < 0.02)
     assert frac > 0.98, frac
+
+
+def test_seam_split_f32_near_exact():
+    """In f32 the seam rewrite is exact up to accumulation order: the
+    seam trunk (float path, no quant) must match the concat trunk to
+    fp32 roundoff — a much tighter gate than the bf16 tolerance, pinning
+    that the rewrite is algebraic, not approximate."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 64, 32, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(7), x)
+
+    y192 = VGG_UNetTrunk(dtype=jnp.float32).apply(v, x)
+    y_lo, t = VGG_UNetTrunk(dtype=jnp.float32, seam=True).apply(v, x)
+
+    from lightly_ocr_tpu.models.vgg_unet import _upsample_to
+
+    up = np.asarray(_upsample_to(y_lo, t.shape[1], t.shape[2]), np.float32)
+    got = np.concatenate([up, np.asarray(t, np.float32)], axis=-1)
+    ref = np.asarray(y192, np.float32)
+    scale = np.maximum(np.abs(ref), 1.0)
+    d = np.max(np.abs(got - ref) / scale)
+    assert d < 1e-5, d
