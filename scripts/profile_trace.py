@@ -118,6 +118,34 @@ def main():
     trace_stage(f"det fwd folded tail B{B}", jax.jit(det_folded),
                 det_vars, canv, flop=det_flop)
 
+    # round-2 serving path: seam trunk + seam-split Pallas tail
+    from lightly_ocr_tpu.models.vgg_unet import VggStemPrefix
+    from lightly_ocr_tpu.ops.pallas_stem import fused_conv12_pool_conv21
+    from lightly_ocr_tpu.ops.pallas_tail import fused_tail_scores_cs_seam
+
+    trunk_seam = VGG_UNetTrunk(dtype=dt, seam=True)
+
+    def det_seam(v, x):
+        y_lo, t = trunk_seam.apply(v, x)
+        y = fused_tail_scores_cs_seam(v, y_lo, t)
+        return y[:, :, 0, : W // 2], y[:, :, 1, : W // 2]
+
+    trace_stage(f"det fwd seam Pallas tail B{B}", jax.jit(det_seam),
+                det_vars, canv, flop=det_flop)
+
+    # + the cpool2 fused stem (conv1_2+pool+conv2_1 in Pallas)
+    stem_prefix = VggStemPrefix(dtype=dt)
+    trunk_c21 = VGG_UNetTrunk(dtype=dt, from_c21=True, seam=True)
+
+    def det_cpool2(v, x):
+        p1 = fused_conv12_pool_conv21(v, stem_prefix.apply(v, x))
+        y_lo, t = trunk_c21.apply(v, p1)
+        y = fused_tail_scores_cs_seam(v, y_lo, t)
+        return y[:, :, 0, : W // 2], y[:, :, 1, : W // 2]
+
+    trace_stage(f"det fwd cpool2 seam B{B}", jax.jit(det_cpool2),
+                det_vars, canv, flop=det_flop)
+
     maps = f_det(det_vars, canv).astype(jnp.float32)
     tmap, lmap = maps[..., 0], maps[..., 1]
     fg = (tmap > cfg.low_text) | (lmap > cfg.link_threshold)
