@@ -51,6 +51,11 @@ class Config:
     rho: float = 0.95
     eps: float = 1.0e-8
     grad_clip: float = 5.0
+    # rematerialize the recognizer forward in the backward pass
+    # (jax.checkpoint): ~halves training activation HBM so batch/canvas
+    # can grow, at the cost of one extra forward of FLOPs.  Gradient
+    # values are identical (tests/test_training.py).
+    train_remat: bool = False
 
     # --- fine tune / data (config.yml:24-39) ---
     random_sample: bool = True

@@ -63,11 +63,26 @@ def loss_fn(
     """batch: images [B,H,W,C] in [-1,1]; CTC: labels [B,L] + lengths [B];
     Attention: text [B, batch_max_len+2] ([GO]-prefixed) + lengths."""
     variables = {"params": params, "batch_stats": batch_stats}
-    if cfg.prediction == "CTC":
-        outputs = model.apply(
-            variables, batch["images"], None, train,
+
+    def apply_fn(v, images, text):
+        return model.apply(
+            v, images, text, train,
             mutable=["batch_stats"] if train else False,
         )
+
+    if train and cfg.train_remat:
+        # Rematerialize the forward during backprop: activations are
+        # not kept for the backward pass, trading ~1 extra forward of
+        # FLOPs for ~half the activation HBM (jax.checkpoint).  The
+        # dot-saveable policy keeps matmul outputs (cheap to store,
+        # expensive to recompute) and recomputes the elementwise rest.
+        apply_fn = jax.checkpoint(
+            apply_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+
+    if cfg.prediction == "CTC":
+        outputs = apply_fn(variables, batch["images"], None)
         preds, new_stats = outputs if train else (outputs, {"batch_stats": batch_stats})
         logp = jax.nn.log_softmax(preds, axis=2)
         T = preds.shape[1]
@@ -79,10 +94,7 @@ def loss_fn(
         )
     else:
         # teacher forcing on text[:, :-1]; target text[:, 1:] (crnn.py:260-262)
-        outputs = model.apply(
-            variables, batch["images"], batch["text"][:, :-1], train,
-            mutable=["batch_stats"] if train else False,
-        )
+        outputs = apply_fn(variables, batch["images"], batch["text"][:, :-1])
         preds, new_stats = outputs if train else (outputs, {"batch_stats": batch_stats})
         target = batch["text"][:, 1:]
         loss = cross_entropy_ignore_index(preds, target, ignore_index=0)

@@ -236,3 +236,32 @@ def test_torch_pth_checkpoint_loading(tmp_path, rng):
         np.asarray(model.apply(back, x)),
         atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("prediction", ["CTC", "Attention"])
+def test_train_remat_identical_grads(rng, prediction):
+    """cfg.train_remat=True (jax.checkpoint around the model forward)
+    must change memory behavior only: loss and gradients are
+    numerically identical to the plain step."""
+    from lightly_ocr_tpu.train.train_step import loss_fn
+
+    cfg = tiny_cfg(prediction)
+    model, state = init_train_state(cfg, jax.random.key(2))
+    batch, _ = make_batch(cfg, rng)
+
+    def grads_for(c):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(model, c, p, state.batch_stats, batch, True),
+            has_aux=True,
+        )(state.params)
+        return float(loss), grads
+
+    l0, g0 = grads_for(cfg)
+    l1, g1 = grads_for(cfg.replace(train_remat=True))
+    assert l0 == l1
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
