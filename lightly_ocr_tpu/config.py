@@ -56,6 +56,11 @@ class Config:
     # can grow, at the cost of one extra forward of FLOPs.  Gradient
     # values are identical (tests/test_training.py).
     train_remat: bool = False
+    # >1: one optimizer step per grad_accum micro-batches, accumulated
+    # in a lax.scan inside ONE jitted step (batch leaves carry a
+    # leading [grad_accum] dim).  Composes with train_remat and the
+    # data-parallel mesh for effective batches past HBM.
+    grad_accum: int = 1
 
     # --- fine tune / data (config.yml:24-39) ---
     random_sample: bool = True

@@ -102,14 +102,43 @@ def loss_fn(
 
 
 def make_train_step(model: CRNNet, cfg: Config) -> Callable:
+    """One jitted optimizer step.
+
+    With ``cfg.grad_accum > 1`` every leaf of ``batch`` carries a
+    leading ``[grad_accum]`` micro-batch dim; the step scans the
+    micro-batches (``lax.scan`` — sequential, so only ONE micro-batch's
+    activations are live at a time), averages the gradients, and
+    applies a single optimizer update.  BatchNorm statistics update per
+    micro-batch, like running the micro-batches as separate steps.
+    """
     optimizer = make_optimizer(cfg)
+    accum = max(1, int(cfg.grad_accum))
+
+    def grads_of(params, batch_stats, batch):
+        return jax.value_and_grad(
+            lambda p: loss_fn(model, cfg, p, batch_stats, batch, True),
+            has_aux=True,
+        )(params)
 
     @jax.jit
     def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
-        (loss, (new_stats, _)), grads = jax.value_and_grad(
-            lambda p: loss_fn(model, cfg, p, state.batch_stats, batch, True),
-            has_aux=True,
-        )(state.params)
+        if accum == 1:
+            (loss, (new_stats, _)), grads = grads_of(
+                state.params, state.batch_stats, batch
+            )
+        else:
+            def micro(carry, mb):
+                stats, gsum, lsum = carry
+                (l, (new_stats, _)), g = grads_of(state.params, stats, mb)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (new_stats, gsum, lsum + l), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, gsum, lsum), _ = jax.lax.scan(
+                micro, (state.batch_stats, zeros, jnp.float32(0.0)), batch
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            loss = lsum / accum
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {

@@ -265,3 +265,31 @@ def test_train_remat_identical_grads(rng, prediction):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
         )
+
+
+def test_grad_accum_matches_plain_step(rng):
+    """grad_accum=2 over two IDENTICAL micro-batches must equal the
+    plain step on one such micro-batch: same-per-micro BN semantics
+    means the averaged gradients and loss coincide exactly."""
+    cfg = tiny_cfg("CTC")
+    model, state = init_train_state(cfg, jax.random.key(3))
+    batch, _ = make_batch(cfg, rng)
+
+    plain = make_train_step(model, cfg)
+    accum = make_train_step(model, cfg.replace(grad_accum=2))
+
+    stacked = jax.tree_util.tree_map(
+        lambda x: np.stack([x, x]), batch
+    )
+    s1, m1 = plain(state, batch)
+    s2, m2 = accum(state, stacked)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
