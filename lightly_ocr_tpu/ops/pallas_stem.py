@@ -565,3 +565,181 @@ def fused_conv12_pool_conv21(
         ),
         interpret=interpret,
     )(wk1, b1, wk2, b2, xp)
+
+
+# ---------------------------------------------------------------------------
+# w8a8 int8 variant: int8 slab DMA (half the bytes) + int8 MXU (2x peak)
+# ---------------------------------------------------------------------------
+
+
+def _wtap_q(kernel):
+    """Fold-BN'd [3, 3, C, Co] float kernel -> (int8 [3C, 3Co] packed,
+    f32 [Co] per-out-channel scale).  All three w-tap N-blocks of a
+    channel share that channel's scale, so the post-dot v-block sum
+    dequantizes with one multiply."""
+    k = jnp.asarray(kernel, jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
+    kq = jnp.clip(jnp.round(k / sw), -127, 127).astype(jnp.int8)
+    u3, v3, C, Co = k.shape
+    packed = kq.transpose(0, 2, 1, 3).reshape(u3 * C, v3 * Co)
+    return packed, sw
+
+
+def _conv_pool_conv_q_kernel(
+    rows, h, w,
+    wk1_ref, sw1_ref, b1_ref, wk2_ref, sw2_ref, b2_ref, sx_ref,
+    xp_hbm, out_ref, slabs, sems,
+):
+    """int8 version of :func:`_conv_pool_conv_kernel`: the slab arrives
+    pre-quantized int8 (per-sample scale ``sx`` from XLA, QuantConv
+    convention), both packed dots run on the int8 MXU with int32
+    accumulation, and the conv2_1 input requantizes in-register with a
+    per-slab dynamic scale (finer grouping than per-sample; the pooled
+    map never exists outside VMEM to take a global amax of)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    slab = _db_slab(xp_hbm, slabs, sems, rows, 8)  # int8 [rows+8, Wp, 128]
+    R = rows
+    Wp = slab.shape[1]
+    S1 = R + 4
+
+    xr = jnp.concatenate(
+        [slab[1 + u : 1 + u + S1, :, 0:64] for u in range(3)], axis=-1
+    )
+    y = jax.lax.dot_general(
+        xr.reshape(S1 * Wp, 192),
+        wk1_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(S1, Wp, 192)
+    Wc = w + 4
+    acc = y[:, 1 : 1 + Wc, 0:64]
+    for v in (1, 2):
+        acc = acc + y[:, 1 + v : 1 + v + Wc, v * 64 : (v + 1) * 64]
+    # dequantize: per-sample activation scale x per-channel weight scale
+    sx = sx_ref[b, 0]
+    a1 = acc.astype(jnp.float32) * (sx * sw1_ref[:].reshape(1, 1, -1))
+    a1 = jnp.maximum(a1 + b1_ref[:].reshape(1, 1, -1), 0.0)
+
+    a1 = jnp.pad(a1, ((0, 0), (0, 12), (0, 0)))
+    rmax = jnp.maximum(a1[0::2], a1[1::2])
+    r2 = rmax.reshape(R // 2 + 2, (w + 16) // 2, 128)
+    p2 = jnp.maximum(r2[:, :, 0:64], r2[:, :, 64:128])
+
+    pr = (
+        jax.lax.broadcasted_iota(jnp.int32, p2.shape, 0)
+        + (i * (R // 2) - 1)
+    )
+    pc = jax.lax.broadcasted_iota(jnp.int32, p2.shape, 1) - 1
+    ok = (pr >= 0) & (pr < h // 2) & (pc >= 0) & (pc < w // 2)
+    p2 = jnp.where(ok, p2, jnp.zeros_like(p2))
+
+    # requantize for the second int8 dot (per-slab dynamic scale)
+    s2 = jnp.maximum(jnp.max(jnp.abs(p2)), 1e-12) / 127.0
+    p2q = jnp.clip(jnp.round(p2 / s2), -127, 127).astype(jnp.int8)
+
+    R2 = R // 2
+    W2p = p2q.shape[1]
+    xr2 = jnp.concatenate([p2q[u : u + R2] for u in range(3)], axis=-1)
+    y2 = jax.lax.dot_general(
+        xr2.reshape(R2 * W2p, 192),
+        wk2_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(R2, W2p, 384)
+    acc2 = y2[:, 0 : w // 2, 0:128]
+    for v in (1, 2):
+        acc2 = acc2 + y2[:, v : v + w // 2, v * 128 : (v + 1) * 128]
+    o = acc2.astype(jnp.float32) * (s2 * sw2_ref[:].reshape(1, 1, -1))
+    o = jnp.maximum(o + b2_ref[:].reshape(1, 1, -1), 0.0)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def fused_conv12_pool_conv21_q(
+    variables: dict, x0: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """w8a8 int8 :func:`fused_conv12_pool_conv21`: half the slab DMA
+    bytes and 2x the MXU peak on the packed dense dots.  NOTE this
+    quantizes two convs the XLA serving graph keeps in float (its
+    QuantConv <128-channel cutoff exists because XLA's int8 conv was
+    lane-starved to 1.00x — the packed K=192 dots are not); the int8
+    parity gates cover the numerics."""
+    return _fused_conv12_pool_conv21_q(variables, x0, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_conv12_pool_conv21_q(
+    variables: dict, x0: jax.Array, interpret: bool = False
+) -> jax.Array:
+    B, H, W, C = x0.shape
+    if C != 64:
+        raise ValueError(f"fused cpool2q expects 64 channels, got {C}")
+    if W % 16:
+        raise ValueError(f"fused cpool2q: W={W} not a multiple of 16")
+    rows = _pick_rows_even(H)
+    if rows == 0:
+        raise ValueError(f"fused cpool2q: H={H} has no even row split")
+    k1, b1 = fold_bn(
+        variables["params"]["basenet"]["slice1"]["3"]["kernel"],
+        variables["params"]["basenet"]["slice1"]["3"]["bias"],
+        variables["params"]["basenet"]["slice1"]["4"]["scale"],
+        variables["params"]["basenet"]["slice1"]["4"]["bias"],
+        variables["batch_stats"]["basenet"]["slice1"]["4"]["mean"],
+        variables["batch_stats"]["basenet"]["slice1"]["4"]["var"],
+    )
+    k2, b2 = fold_bn(
+        variables["params"]["basenet"]["slice1"]["7"]["kernel"],
+        variables["params"]["basenet"]["slice1"]["7"]["bias"],
+        variables["params"]["basenet"]["slice1"]["8"]["scale"],
+        variables["params"]["basenet"]["slice1"]["8"]["bias"],
+        variables["batch_stats"]["basenet"]["slice1"]["8"]["mean"],
+        variables["batch_stats"]["basenet"]["slice1"]["8"]["var"],
+    )
+    wq1, sw1 = _wtap_q(k1)
+    wq2, sw2 = _wtap_q(k2)
+
+    # per-sample activation quantization (QuantConv convention)
+    xf = x0.astype(jnp.float32)
+    sx = (
+        jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-12
+        )
+        / 127.0
+    )
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    # int8 tiling is (32, 128): pad the sublane (W) extent to a
+    # 32-multiple so the slab DMA stays tile-aligned
+    wpad = (-(W + 8)) % 32
+    xp = jnp.pad(xq, ((0, 0), (4, 4), (4, 4 + wpad), (0, 64)))
+
+    kernel = functools.partial(_conv_pool_conv_q_kernel, rows, H, W)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // rows),
+        in_specs=[wspec] * 6
+        + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows // 2, W // 2, 128), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, H // 2, W // 2, 128), jnp.bfloat16
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + 8, W + 8 + wpad, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        wq1, sw1, jnp.asarray(b1, jnp.float32),
+        wq2, sw2, jnp.asarray(b2, jnp.float32),
+        sx.reshape(B, 1), xp,
+    )

@@ -251,10 +251,19 @@ class BatchedOCR:
                     if use_cpool == "c21":
                         from lightly_ocr_tpu.ops.pallas_stem import (
                             fused_conv12_pool_conv21,
+                            fused_conv12_pool_conv21_q,
                         )
 
+                        # int8 serving graph -> w8a8 kernel (half the
+                        # slab DMA bytes, 2x MXU peak on the packed
+                        # dots); float graph -> bf16 kernel
+                        c21 = (
+                            fused_conv12_pool_conv21_q
+                            if cfg.quant_int8
+                            else fused_conv12_pool_conv21
+                        )
                         x0 = det_stem.apply(det_vars, canvases)
-                        p1 = fused_conv12_pool_conv21(det_vars, x0)
+                        p1 = c21(det_vars, x0)
                         y_lo, t = det_trunk_c21_seam.apply(det_vars, p1)
                     elif use_cpool:
                         from lightly_ocr_tpu.ops.pallas_stem import (

@@ -26,6 +26,7 @@ from lightly_ocr_tpu.models.vgg_unet import VGG_UNet, _VggSlice
 from lightly_ocr_tpu.ops.pallas_stem import (
     fused_conv12_pool,
     fused_conv12_pool_conv21,
+    fused_conv12_pool_conv21_q,
 )
 
 B, H, W = 16, 960, 640
@@ -97,6 +98,16 @@ def main():
     b2 = np.asarray(yf2, np.float32)
     print(f"phase-2 maxdiff {np.max(np.abs(a2 - b2)):.2e}", flush=True)
     print(f"phase-2 speedup C/D: {tr2 / tf2:.3f}x", flush=True)
+
+    # phase 2 int8 (w8a8 slab + int8 MXU): vs the same float chain
+    fusedq_fn = jax.jit(lambda v, x: fused_conv12_pool_conv21_q(v, x))
+    yq, tq = timeit("E fused int8 w8a8 ", fusedq_fn, v, x0)
+    bq = np.asarray(yq, np.float32)
+    cc = float(np.corrcoef(a2.ravel(), bq.ravel())[0, 1])
+    print(f"phase-2q corr {cc:.5f}  "
+          f"reldiff {np.max(np.abs(a2 - bq)) / max(1e-9, a2.max()):.3f}",
+          flush=True)
+    print(f"phase-2q speedup C/E: {tr2 / tq:.3f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -162,3 +162,43 @@ def test_cpool2_seam_composition_matches_full_model():
     assert got.shape == y_ref.shape
     d = np.max(np.abs(got - np.asarray(y_ref, np.float32)))
     assert d < 7e-3, d
+
+
+@pytest.mark.slow
+def test_cpool2_int8_kernel_close_to_float_chain():
+    """w8a8 cpool2 kernel (int8 slab + int8 MXU dots + in-register
+    requant) vs the float flax chain: bounded by normal w8a8
+    double-quantization noise, not a correctness bug."""
+    from lightly_ocr_tpu.models.vgg_unet import _VggSlice
+    from lightly_ocr_tpu.ops.pallas_stem import fused_conv12_pool_conv21_q
+
+    import flax.linen as nn
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 64, 48, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(8), x)
+
+    class RefMod(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            class B(nn.Module):
+                @nn.compact
+                def __call__(self, x):
+                    return _VggSlice(
+                        (("C", 0, 64), ("R",), ("C", 3, 64), ("R",),
+                         ("P",), ("C", 7, 128), ("R",)),
+                        jnp.float32, False, name="slice1",
+                    )(x, False)
+
+            return B(name="basenet")(x)
+
+    ref = np.asarray(RefMod().apply(v, x), np.float32)
+    x0 = VggStemPrefix(dtype=jnp.bfloat16).apply(v, x)
+    got = np.asarray(
+        fused_conv12_pool_conv21_q(v, x0, interpret=True), np.float32
+    )
+    assert got.shape == ref.shape
+    cc = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert cc > 0.999, cc
+    rel = np.max(np.abs(ref - got)) / max(1e-9, float(np.max(np.abs(ref))))
+    assert rel < 0.05, rel
