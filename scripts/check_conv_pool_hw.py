@@ -33,18 +33,25 @@ B, H, W = 16, 960, 640
 
 
 def timeit(tag, fn, *args, n=6):
-    t0 = time.time()
-    out = fn(*args)
-    np.asarray(out[0, 0, 0])
-    print(f"{tag}: compile+first {time.time()-t0:.1f}s", flush=True)
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        np.asarray(fn(*args)[0, 0, 0])
-        ts.append(time.perf_counter() - t0)
-    ms = float(np.median(ts)) * 1e3
-    print(f"{tag}: median wall {ms:.1f} ms over {n}", flush=True)
-    return out, ms
+    """Times one variant; a compile/lowering failure reports and
+    returns (None, inf) so the remaining variants still run."""
+    try:
+        t0 = time.time()
+        out = fn(*args)
+        np.asarray(out[0, 0, 0])
+        print(f"{tag}: compile+first {time.time()-t0:.1f}s", flush=True)
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args)[0, 0, 0])
+            ts.append(time.perf_counter() - t0)
+        ms = float(np.median(ts)) * 1e3
+        print(f"{tag}: median wall {ms:.1f} ms over {n}", flush=True)
+        return out, ms
+    except Exception as e:  # Mosaic rejections, OOM, compile budget
+        print(f"{tag}: FAILED — {type(e).__name__}: {str(e)[:500]}",
+              flush=True)
+        return None, float("inf")
 
 
 class _RefChain(nn.Module):
@@ -82,10 +89,17 @@ def main():
     yr, tr = timeit("A xla conv1_2+pool", ref_fn, v, x0)
     yf, tf = timeit("B fused kernel    ", fused_fn, v, x0)
 
-    a = np.asarray(yr, np.float32)
-    b = np.asarray(yf, np.float32)
-    print(f"phase-1 maxdiff {np.max(np.abs(a - b)):.2e}", flush=True)
-    print(f"phase-1 speedup A/B: {tr / tf:.3f}x", flush=True)
+    if yr is not None and yf is not None:
+        a = np.asarray(yr, np.float32)
+        b = np.asarray(yf, np.float32)
+        print(f"phase-1 maxdiff {np.max(np.abs(a - b)):.2e}", flush=True)
+        print(f"phase-1 speedup A/B: {tr / tf:.3f}x", flush=True)
+    # pool-lowering hedge: strided sublane slices instead of the
+    # pair-lane reshape
+    fused_s_fn = jax.jit(
+        lambda v, x: fused_conv12_pool(v, x, pool_impl="strided")
+    )
+    ys, tsm = timeit("B2 fused (strided)", fused_s_fn, v, x0)
 
     # phase 2: one stage deeper (conv2_1 fused as well)
     ops2 = (("C", 3, 64), ("R",), ("P",), ("C", 7, 128), ("R",))
@@ -94,20 +108,23 @@ def main():
 
     yr2, tr2 = timeit("C xla  +conv2_1   ", ref2_fn, v, x0)
     yf2, tf2 = timeit("D fused+conv2_1   ", fused2_fn, v, x0)
-    a2 = np.asarray(yr2, np.float32)
-    b2 = np.asarray(yf2, np.float32)
-    print(f"phase-2 maxdiff {np.max(np.abs(a2 - b2)):.2e}", flush=True)
-    print(f"phase-2 speedup C/D: {tr2 / tf2:.3f}x", flush=True)
+    if yr2 is not None and yf2 is not None:
+        a2 = np.asarray(yr2, np.float32)
+        b2 = np.asarray(yf2, np.float32)
+        print(f"phase-2 maxdiff {np.max(np.abs(a2 - b2)):.2e}", flush=True)
+        print(f"phase-2 speedup C/D: {tr2 / tf2:.3f}x", flush=True)
 
     # phase 2 int8 (w8a8 slab + int8 MXU): vs the same float chain
     fusedq_fn = jax.jit(lambda v, x: fused_conv12_pool_conv21_q(v, x))
     yq, tq = timeit("E fused int8 w8a8 ", fusedq_fn, v, x0)
-    bq = np.asarray(yq, np.float32)
-    cc = float(np.corrcoef(a2.ravel(), bq.ravel())[0, 1])
-    print(f"phase-2q corr {cc:.5f}  "
-          f"reldiff {np.max(np.abs(a2 - bq)) / max(1e-9, a2.max()):.3f}",
-          flush=True)
-    print(f"phase-2q speedup C/E: {tr2 / tq:.3f}x", flush=True)
+    if yr2 is not None and yq is not None:
+        a2 = np.asarray(yr2, np.float32)
+        bq = np.asarray(yq, np.float32)
+        cc = float(np.corrcoef(a2.ravel(), bq.ravel())[0, 1])
+        print(f"phase-2q corr {cc:.5f}  "
+              f"reldiff {np.max(np.abs(a2 - bq)) / max(1e-9, a2.max()):.3f}",
+              flush=True)
+        print(f"phase-2q speedup C/E: {tr2 / tq:.3f}x", flush=True)
 
 
 if __name__ == "__main__":
