@@ -510,6 +510,7 @@ class BatchedOCR:
                     extents,
                 ),
                 label="batched-ocr",
+                devices=self.mesh.devices if self.mesh is not None else None,
             )
             self._compiled[key] = fn
         return fn

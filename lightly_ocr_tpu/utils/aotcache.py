@@ -9,7 +9,8 @@ processes on this backend (verified: deserialize ~0.1 s), so we keep
 our own cache:
 
     lower(args) -> sha256(jax version | device kind | #devices |
-                          StableHLO text) -> .aotcache/<key>.jexe
+                          mesh device ids | StableHLO text)
+                -> .aotcache/<key>.jexe
 
 The key IS the program (full lowered StableHLO), so a stale cache
 entry is impossible: any code / shape / dtype / config change lowers
@@ -63,7 +64,15 @@ from typing import Any, Callable
 
 logger = logging.getLogger(__name__)
 
-_MAGIC = b"LOCRAOT1"
+# v2: the pickled tuple grew a 4th element — the ordered device-id list
+# of the executable's device assignment — because
+# ``deserialize_and_load`` with default ``execution_devices`` binds the
+# reloaded executable to ALL local devices: an entry compiled for a
+# 4-device sub-mesh of an 8-device host reloads "successfully" and then
+# fails at dispatch ("Expected args ... to have 8 shards, got [4, ...]")
+# — observed in MULTICHIP_r02.json.  v1 entries fail the magic check and
+# recompile (a cold miss, never a wrong hit).
+_MAGIC = b"LOCRAOT2"
 
 
 def cache_dir() -> Path | None:
@@ -99,13 +108,45 @@ def _device_tag() -> str:
     return f"{kind}{len(devs)}"
 
 
-def program_key(lowered: Any) -> str:
-    """Content hash of the lowered program + toolchain + device."""
+def program_key(lowered: Any, devices: Any = None) -> str:
+    """Content hash of the lowered program + toolchain + topology.
+
+    The StableHLO text embeds the mesh *shape* (``sdy.mesh``/
+    ``mhlo.num_partitions``), so programs over differently-shaped
+    meshes never collide — but it does NOT embed device *identity*:
+    the same program over devices [0..3] and [4..7] lowers to
+    byte-identical text while the executables are bound to different
+    chips.  ``devices`` (the mesh's ordered device array, or None for
+    the default single/all-device placement) folds that assignment
+    into the key so per-topology entries coexist instead of thrashing
+    one file (VERDICT r2 weak #2).
+    """
     h = hashlib.sha256()
     h.update(_device_fingerprint().encode())
     h.update(b"\x00")
+    if devices is not None:
+        import numpy as _np
+
+        ids = [int(d.id) for d in _np.asarray(devices).ravel().tolist()]
+        h.update(("mesh:" + ",".join(map(str, ids))).encode())
+    h.update(b"\x00")
     h.update(lowered.as_text().encode())
     return h.hexdigest()[:24]
+
+
+def _assignment_ids(compiled: Any) -> list[int] | None:
+    """Ordered device ids of ``compiled``'s device assignment, or None
+    when it cannot be determined (then load-time binds to the default
+    devices, matching the pre-v2 behavior)."""
+    try:
+        ins, _ = compiled.input_shardings
+        for s in list(ins) + list(compiled.output_shardings):
+            da = getattr(s, "_device_assignment", None)
+            if da:
+                return [int(d.id) for d in da]
+    except Exception:
+        pass
+    return None
 
 
 class _RestrictedUnpickler(pickle.Unpickler):
@@ -135,6 +176,7 @@ class _RestrictedUnpickler(pickle.Unpickler):
 
 
 def _load(path: Path) -> Callable | None:
+    import jax
     from jax.experimental import serialize_executable as se
 
     try:
@@ -143,11 +185,26 @@ def _load(path: Path) -> Callable | None:
             return None
         import io
 
-        payload, in_tree, out_tree = _RestrictedUnpickler(
+        payload, in_tree, out_tree, device_ids = _RestrictedUnpickler(
             io.BytesIO(zlib.decompress(raw[len(_MAGIC):]))
         ).load()
+        execution_devices = None
+        if device_ids is not None:
+            by_id = {d.id: d for d in jax.devices()}
+            if not all(i in by_id for i in device_ids):
+                logger.warning(
+                    "aotcache entry %s was compiled for device ids %s "
+                    "not all present now — recompiling",
+                    path.name,
+                    device_ids,
+                )
+                return None
+            execution_devices = [by_id[i] for i in device_ids]
         t0 = time.perf_counter()
-        compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+        compiled = se.deserialize_and_load(
+            payload, in_tree, out_tree,
+            execution_devices=execution_devices,
+        )
         logger.info(
             "aotcache hit %s (deserialize %.2fs)",
             path.name,
@@ -165,7 +222,10 @@ def _store(path: Path, compiled: Any) -> None:
     try:
         payload, in_tree, out_tree = se.serialize(compiled)
         blob = _MAGIC + zlib.compress(
-            pickle.dumps((payload, in_tree, out_tree)), 6
+            pickle.dumps(
+                (payload, in_tree, out_tree, _assignment_ids(compiled))
+            ),
+            6,
         )
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(".tmp%d" % os.getpid())
@@ -215,20 +275,27 @@ def _guarded(compiled: Callable, lowered: Any, path: Path) -> Callable:
     return call
 
 
-def cached_compile(jitted: Callable, args: tuple, label: str = "") -> Callable:
+def cached_compile(
+    jitted: Callable,
+    args: tuple,
+    label: str = "",
+    devices: Any = None,
+) -> Callable:
     """Compile ``jitted`` for ``args``, going through the disk cache.
 
     ``jitted`` must be a ``jax.jit``-wrapped callable (has ``.lower``).
     Returns the compiled executable (callable with the same args).
     Tracing/lowering runs either way (seconds); only the expensive
     backend compile is skipped on a hit.  Cache-loaded executables are
-    first-dispatch-guarded (see ``_guarded``).
+    first-dispatch-guarded (see ``_guarded``).  ``devices`` — the mesh's
+    ordered device array when the program runs over an explicit mesh —
+    keys the entry per device assignment (see :func:`program_key`).
     """
     directory = cache_dir()
     lowered = jitted.lower(*args)
     if directory is None:
         return lowered.compile()
-    key = program_key(lowered)
+    key = program_key(lowered, devices=devices)
     path = directory / (
         f"{label + '-' if label else ''}{_device_tag()}-{key}.jexe"
     )
