@@ -134,6 +134,29 @@ class Config:
     # to EOS).  Ignored for prediction="CTC".
     attn_decode: str = "greedy"  # {"greedy", "beam"}
     beam_width: int = 8  # shared by ctc_decode/attn_decode = "beam"
+    # --- serving graph plan (TPU; env vars override for A/B) --------
+    # Fused detector stages, comma list of {"tail", "stem", "cpool",
+    # "cpool2"} or "none".  "tail" (default) = the Pallas packed-dot
+    # upconv4+cls-head kernel (device-trace win, BENCH.md); "cpool"/
+    # "cpool2" add the fused conv1_2+pool(+conv2_1) stem kernels;
+    # "stem" = the older conv1_2-only kernel (A/B).  Resolved per
+    # canvas by BatchedOCR._fused_kernel_plan (falls back off-TPU / at
+    # unsupported shapes).  Env override: LIGHTLY_OCR_ENABLE_FUSED.
+    fused_stages: str = "tail"
+    # Fused-stage implementation: "pallas" (slab kernels, default) or
+    # "rowpack" (row-packed XLA convs, A/B).  Env override:
+    # LIGHTLY_OCR_FUSED_IMPL.
+    fused_impl: str = "pallas"
+    # Serve the whole batch as ONE jitted program (default; the split
+    # costs ~10% on dispatch RPC) vs separately-jitted detector/post
+    # stages (profiling).  Env override: LIGHTLY_OCR_MONOLITH=0/1.
+    monolith: bool = True
+    # In-kernel 2x2-pool lowering for the cpool kernels: "strided"
+    # (sublane-pair reshape, default — the pair-lane "reshape" form
+    # crashes the Mosaic device compiler at every shape) or "reshape"
+    # (pair-lane; interpret-mode A/B only).  Numerically identical.
+    # Env override: LIGHTLY_OCR_CPOOL_POOL.
+    cpool_pool: str = "strided"
     # Optional shallow-fusion LM for ctc_decode="beam": path to a .npy
     # [C, C] float array of transition log-priors (C = derived_num_
     # classes; lm[p, c] is added when a prefix ending in label p
@@ -166,6 +189,25 @@ class Config:
             )
         if self.beam_width <= 0:
             raise ValueError("beam_width must be positive")
+        if self.fused_impl not in ("pallas", "rowpack"):
+            raise ValueError(
+                f"fused_impl must be pallas|rowpack, got {self.fused_impl!r}"
+            )
+        if self.cpool_pool not in ("reshape", "strided"):
+            raise ValueError(
+                f"cpool_pool must be reshape|strided, got {self.cpool_pool!r}"
+            )
+        known = {"tail", "stem", "cpool", "cpool2"}
+        stages = {
+            t.strip()
+            for t in self.fused_stages.split(",")
+            if t.strip() and t.strip().lower() not in ("none", "off", "0")
+        }
+        if stages - known:
+            raise ValueError(
+                f"fused_stages contains unknown stages {sorted(stages - known)}"
+                f" (known: {sorted(known)})"
+            )
 
     # --- derived (canonical replacements for crnn.py:69-74 mutation) ---
     @property
@@ -183,6 +225,15 @@ class Config:
     def num_steps(self) -> int:
         """Attention decode steps = batch_max_len + 1 (attention.py:28)."""
         return self.batch_max_len + 1
+
+    @property
+    def derived_fused_stages(self) -> frozenset:
+        """``fused_stages`` parsed to a set ("none"/"off"/"0" -> empty)."""
+        return frozenset(
+            t.strip()
+            for t in self.fused_stages.split(",")
+            if t.strip() and t.strip().lower() not in ("none", "off", "0")
+        )
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -292,17 +292,22 @@ def _conv_pool_kernel(
     for v in (1, 2):
         acc = acc + y[:, v : v + W, v * 64 : (v + 1) * 64]
     a = jnp.maximum(acc + b_ref[:].reshape(1, 1, -1), 0.0)
-    # 2x2 maxpool in-register: rows via offset dim-0 strided slices,
-    # cols via the pair-lane reshape ([R/2, W, 64] -> [R/2, W/2, 128]
-    # puts each column pair's channels side by side on the lane dim —
-    # W is the sublane dim so this is one in-VMEM relayout, far
-    # cheaper than an HBM round-trip).  pool_impl="strided" selects
-    # sublane-strided slices instead (numerically identical) — the
-    # Mosaic-feasibility hedge.  Both variants are parity-tested
+    # 2x2 maxpool in-register: rows via the outer-dim pair reshape
+    # ([R, W, 64] -> [R/2, 2, W, 64]: dim 0 is untiled, so the split
+    # is layout-free — stride-2 SLICES on any dim lower to a gather
+    # Mosaic rejects, "Only 2D gather is supported"), cols via the
+    # pair-lane reshape ([R/2, W, 64] -> [R/2, W/2, 128] puts each
+    # column pair's channels side by side on the lane dim — W is the
+    # sublane dim so this is one in-VMEM relayout, far cheaper than an
+    # HBM round-trip).  pool_impl="strided" selects a sublane pair
+    # reshape instead (numerically identical) — the Mosaic-feasibility
+    # hedge.  Both variants are parity-tested
     # (tests/test_pallas_stem.py parametrizes pool_impl).
-    rmax = jnp.maximum(a[0::2], a[1::2])  # [R/2, W, 64]
+    ar = a.reshape(R // 2, 2, a.shape[1], 64)
+    rmax = jnp.maximum(ar[:, 0], ar[:, 1])  # [R/2, W, 64]
     if pool_impl == "strided":
-        cmax = jnp.maximum(rmax[:, 0::2], rmax[:, 1::2])
+        rp = rmax.reshape(R // 2, W // 2, 2, 64)
+        cmax = jnp.maximum(rp[:, :, 0], rp[:, :, 1])
     else:
         r2 = rmax.reshape(R // 2, W // 2, 128)
         cmax = jnp.maximum(r2[:, :, 0:64], r2[:, :, 64:128])
@@ -364,7 +369,7 @@ def fused_conv12_pool(
 
         pool_impl = (
             os.environ.get("LIGHTLY_OCR_CPOOL_POOL", "").strip()
-            or "reshape"
+            or "strided"
         )
     return _fused_conv12_pool(variables, x0, interpret, pool_impl)
 
@@ -462,12 +467,16 @@ def _conv_pool_conv_kernel(
         acc = acc + y[:, 1 + v : 1 + v + Wc, v * 64 : (v + 1) * 64]
     a1 = jnp.maximum(acc + b1_ref[:].reshape(1, 1, -1), 0.0)
 
-    # --- 2x2 pool (rows: dim-0 strided; cols: pair-lane reshape) ----
+    # --- 2x2 pool (rows: outer-dim pair reshape; cols: pair-lane
+    # reshape — stride-2 slices lower to unsupported Mosaic gathers) --
     # pad cols so the paired width stays 8-aligned: Wc=W+4 -> W+16
     a1 = jnp.pad(a1, ((0, 0), (0, 12), (0, 0)))
-    rmax = jnp.maximum(a1[0::2], a1[1::2])       # [R/2+2, W+16, 64]
-    r2 = rmax.reshape(R // 2 + 2, (w + 16) // 2, 128)
-    p2 = jnp.maximum(r2[:, :, 0:64], r2[:, :, 64:128])
+    a1r = a1.reshape(S1 // 2, 2, w + 16, 64)
+    rmax = jnp.maximum(a1r[:, 0], a1r[:, 1])     # [R/2+2, W+16, 64]
+    # sublane-pair reshape (NOT pair-lane [.., W/2, 128]: that form
+    # crashes the Mosaic backend at every shape — device-probed r3)
+    r2 = rmax.reshape(rmax.shape[0], (w + 16) // 2, 2, 64)
+    p2 = jnp.maximum(r2[:, :, 0], r2[:, :, 1])
     # p2[t, d] = pooled image (iR/2 - 1 + t, d - 1)
 
     # --- rezero the SAME-conv ring of the pooled map ----------------
@@ -622,9 +631,12 @@ def _conv_pool_conv_q_kernel(
     a1 = jnp.maximum(a1 + b1_ref[:].reshape(1, 1, -1), 0.0)
 
     a1 = jnp.pad(a1, ((0, 0), (0, 12), (0, 0)))
-    rmax = jnp.maximum(a1[0::2], a1[1::2])
-    r2 = rmax.reshape(R // 2 + 2, (w + 16) // 2, 128)
-    p2 = jnp.maximum(r2[:, :, 0:64], r2[:, :, 64:128])
+    a1r = a1.reshape(S1 // 2, 2, w + 16, 64)
+    rmax = jnp.maximum(a1r[:, 0], a1r[:, 1])
+    # sublane-pair reshape (NOT pair-lane [.., W/2, 128]: that form
+    # crashes the Mosaic backend at every shape — device-probed r3)
+    r2 = rmax.reshape(rmax.shape[0], (w + 16) // 2, 2, 64)
+    p2 = jnp.maximum(r2[:, :, 0], r2[:, :, 1])
 
     pr = (
         jax.lax.broadcasted_iota(jnp.int32, p2.shape, 0)

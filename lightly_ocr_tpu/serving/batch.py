@@ -99,11 +99,13 @@ class BatchedOCR:
         The Pallas TAIL is ON by default on TPU: with the packed
         single-dot kernel it beats the plain flax graph on device
         traces (81.9 vs 83.7 ms detector forward at b16 960x640) and
-        compiles in ~17 s at production widths.  Disable with
-        ``LIGHTLY_OCR_ENABLE_FUSED=none``, or set an explicit comma
-        list to choose stages.  The STEM stays opt-in (`=stem,tail`):
-        the G=2 strided conv1_2 regressed end-to-end (83.5 vs 101
-        receipts/s) and the Pallas stem never beat XLA on device."""
+        compiles in ~17 s at production widths.  The stage set comes
+        from ``Config.fused_stages`` (so a deployment is reproducible
+        from one config artifact); ``LIGHTLY_OCR_ENABLE_FUSED``
+        overrides it for A/B (``=none`` disables, or an explicit comma
+        list).  The STEM stays opt-in (`=stem,tail`): the G=2 strided
+        conv1_2 regressed end-to-end (83.5 vs 101 receipts/s) and the
+        Pallas stem never beat XLA on device."""
         import os
 
         from lightly_ocr_tpu.ops.pallas_stem import (
@@ -115,7 +117,7 @@ class BatchedOCR:
         env = os.environ.get("LIGHTLY_OCR_ENABLE_FUSED")
         explicit = env is not None
         if env is None:
-            enabled = {"tail"}
+            enabled = set(self.cfg.derived_fused_stages)
         elif env.strip().lower() in ("", "none", "off", "0"):
             enabled = set()
         else:
@@ -182,20 +184,24 @@ class BatchedOCR:
             )
         return use_stem, use_tail, use_cpool
 
-    @staticmethod
-    def _fused_impls():
+    def _fused_impls(self):
         """(stem_conv, tail_scores, tail_is_cs): the Pallas slab
         kernels by default (``ops/pallas_{stem,tail}.py`` — the
         packed-dot tail wins on device traces and compiles in ~1 min
-        at production widths); ``LIGHTLY_OCR_FUSED_IMPL=rowpack``
-        selects the row-packed XLA convs (``ops/rowpack.py``) for A/B.
+        at production widths); ``Config.fused_impl="rowpack"`` (env
+        override ``LIGHTLY_OCR_FUSED_IMPL``) selects the row-packed
+        XLA convs (``ops/rowpack.py``) for A/B.
         ``tail_is_cs`` declares the tail's output layout — channels-
         second ``[B, H2, 2, W2P]`` (Pallas native) vs channels-last —
         so the caller dispatches on impl identity, not shape sniffing.
         """
         import os
 
-        if os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip() == "rowpack":
+        impl = (
+            os.environ.get("LIGHTLY_OCR_FUSED_IMPL", "").strip()
+            or self.cfg.fused_impl
+        )
+        if impl == "rowpack":
             from lightly_ocr_tpu.ops.rowpack import (
                 stem_conv_rowpacked,
                 tail_scores_rowpacked,
@@ -270,8 +276,18 @@ class BatchedOCR:
                             fused_conv12_pool,
                         )
 
+                        import os as _os
+
+                        pool_impl = (
+                            _os.environ.get(
+                                "LIGHTLY_OCR_CPOOL_POOL", ""
+                            ).strip()
+                            or cfg.cpool_pool
+                        )
                         x0 = det_stem.apply(det_vars, canvases)
-                        p1 = fused_conv12_pool(det_vars, x0)
+                        p1 = fused_conv12_pool(
+                            det_vars, x0, pool_impl=pool_impl
+                        )
                         y_lo, t = det_trunk_pool_seam.apply(det_vars, p1)
                     elif use_stem:
                         x0 = det_stem.apply(det_vars, canvases)
@@ -426,8 +442,12 @@ class BatchedOCR:
         # default full-width production geometry (the pre-col-blocking
         # SIGKILLs are history), and the split costs ~10% throughput
         # on the tunnel (one extra RPC submission per batch).
-        # LIGHTLY_OCR_MONOLITH=0 for A/B.
-        want_split = mono_env == "0"
+        # Config.monolith drives it; LIGHTLY_OCR_MONOLITH=0/1 overrides
+        # for A/B.
+        if mono_env:
+            want_split = mono_env == "0"
+        else:
+            want_split = not cfg.monolith
         if jax.default_backend() == "tpu" and want_split:
             # Split the chain into separately-jitted dispatches — A/B
             # and bench --stage-times only (LIGHTLY_OCR_MONOLITH=0).

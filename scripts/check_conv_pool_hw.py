@@ -94,12 +94,20 @@ def main():
         b = np.asarray(yf, np.float32)
         print(f"phase-1 maxdiff {np.max(np.abs(a - b)):.2e}", flush=True)
         print(f"phase-1 speedup A/B: {tr / tf:.3f}x", flush=True)
-    # pool-lowering hedge: strided sublane slices instead of the
+    # pool-lowering hedge: sublane pair reshape instead of the
     # pair-lane reshape
     fused_s_fn = jax.jit(
         lambda v, x: fused_conv12_pool(v, x, pool_impl="strided")
     )
     ys, tsm = timeit("B2 fused (strided)", fused_s_fn, v, x0)
+    # free phase-1 device buffers: holding three [16, 480, 320, 64+]
+    # results while phase 2 materializes the full-res conv1_2
+    # intermediate (lane-padded to 128ch: ~2.5 GB) exhausted the 16 GB
+    # HBM on the first run of this gate
+    del yr, yf, ys
+    import gc
+
+    gc.collect()
 
     # phase 2: one stage deeper (conv2_1 fused as well)
     ops2 = (("C", 3, 64), ("R",), ("P",), ("C", 7, 128), ("R",))
