@@ -258,12 +258,17 @@ def _pick_rows(h2: int) -> int:
     if r is not None:
         return r if h2 % r == 0 else 0
     # Larger row blocks amortize the fixed 2*HALO halo rows (rows=8
-    # recomputes 2x the output volume, rows=48 only 1.17x).  The
-    # flattened-dot kernel body is a fixed op count, so Mosaic compile
-    # cost no longer scales with the slab volume the way the old
-    # per-row-sliced form did.  Geometry sweep at 480x320 (device):
-    # 48/full-width 19.31 ms, 40/128 20.92 — identical outputs.
-    for r in (48, 40, 24, 16, 8, 4):
+    # recomputes 2x the output volume, rows=48 1.17x, rows=120 1.067x).
+    # The flattened-dot kernel body is a fixed op count, so Mosaic
+    # compile cost no longer scales with the slab volume the way the
+    # old per-row-sliced form did — but it DOES scale with the unrolled
+    # body volume, which bounds how high rows can go.  Device sweep at
+    # b16 480x320 (scripts/check_tail_rows_hw.py, all outputs
+    # bit-identical): rows=48 29.25 ms / 96 28.17 / 120 27.97 /
+    # 160 27.77; Mosaic compile 58 s / 155 s / 262 s / 521 s.  120 is
+    # the default — 160's extra −0.2 ms costs 8.7 min on every
+    # cache-miss recompile through the tunnel.
+    for r in (120, 96, 48, 40, 24, 16, 8, 4):
         if h2 % r == 0:
             return r
     return 0
