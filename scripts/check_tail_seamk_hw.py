@@ -140,16 +140,37 @@ def clamp128_kernel(
         dma(kn // ni, jax.lax.rem(kn, ni), jax.lax.rem(kn, 2)).start()
 
     dma(b, i, slot).wait()
-    st = st_of(i)
-    roff = i * rows - st
 
     x = _conv3_same(slabs[slot][:, :, 0:64], wa_ref[:], ba_ref[:])
     o = _head(
         x, w0_ref[:], b0_ref[:], w2_ref[:], b2_ref[:], w4_ref[:],
         b4_ref[:], w6_ref[:], b6_ref[:], w8_ref[:], b8_ref[:],
     )
-    oc = jax.lax.dynamic_slice_in_dim(o, roff, rows, axis=0)
-    out_ref[0] = jnp.transpose(oc, (0, 2, 1)).astype(out_ref.dtype)
+    # roff = i*rows - st takes exactly three values (first / interior /
+    # last block); Mosaic has no value-level dynamic_slice, so branch
+    # on i with static slices.
+    _emit_extract(o, i, ni, rows, out_ref)
+
+
+def _emit_extract(o, i, ni, rows, out_ref):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def put(roff):
+        oc = o[roff : roff + rows]
+        out_ref[0] = jnp.transpose(oc, (0, 2, 1)).astype(out_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        put(0)
+
+    @pl.when((i > 0) & (i < ni - 1))
+    def _():
+        put(HALO)
+
+    @pl.when((i == ni - 1) & (ni > 1))
+    def _():
+        put(2 * HALO)
 
 
 def seamk_kernel(
@@ -159,7 +180,7 @@ def seamk_kernel(
     wa_ref, ba_ref, w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
     w6_ref, b6_ref, w8_ref, b8_ref,
     out_ref,
-    tslabs, yslabs, tsems, ysems,
+    tslabs, yslabs, yaup_s, tsems, ysems,
 ):
     import jax
     import jax.numpy as jnp
@@ -211,9 +232,6 @@ def seamk_kernel(
 
     dma_t(b, i, slot).wait()
     dma_y(b, i, slot).wait()
-    st = st_of(i)
-    d = st // 2 - sy_of(i)
-    roff = i * rows - st
 
     # --- y path: W-upsample at SY rows, then H-interleave ------------
     ys = yslabs[slot][:, :, 0:64].astype(jnp.float32)  # [SY, w4, 64]
@@ -226,14 +244,34 @@ def seamk_kernel(
     ow = jnp.where(c_idx == w4 - 1, cc_, 0.75 * cc_ + 0.25 * nc_)
     # sublane-pair MERGE: [SY, w4, 2, 64] -> [SY, 2*w4, 64]
     yw = jnp.stack([ew, ow], axis=2).reshape(SY, 2 * w4, 64)
-    # H taps with edge duplication baked into the extended slab
+    # H taps with edge duplication baked into the extended slab.
+    # d = st//2 - sy takes exactly three values tied to the block
+    # index (0 for i==0, 1 interior, 2 for i==ni-1); Mosaic has no
+    # value-level dynamic_slice, so branch on i with static slices,
+    # writing the upsampled rows through the yaup scratch.
     ye = jnp.concatenate([yw[0:1], yw, yw[SY - 1 : SY]], axis=0)
-    prev = jax.lax.dynamic_slice_in_dim(ye, d, S // 2, axis=0)
-    cur = jax.lax.dynamic_slice_in_dim(ye, d + 1, S // 2, axis=0)
-    nxt = jax.lax.dynamic_slice_in_dim(ye, d + 2, S // 2, axis=0)
-    eh = 0.25 * prev + 0.75 * cur
-    oh = 0.75 * cur + 0.25 * nxt
-    ya_up = jnp.stack([eh, oh], axis=1).reshape(S, 2 * w4, 64)
+
+    def hmix(dd):
+        prev = ye[dd : dd + S // 2]
+        cur = ye[dd + 1 : dd + 1 + S // 2]
+        nxt = ye[dd + 2 : dd + 2 + S // 2]
+        eh = 0.25 * prev + 0.75 * cur
+        oh = 0.75 * cur + 0.25 * nxt
+        yaup_s[:] = jnp.stack([eh, oh], axis=1).reshape(S, 2 * w4, 64)
+
+    @pl.when(i == 0)
+    def _():
+        hmix(0)
+
+    @pl.when((i > 0) & (i < ni - 1))
+    def _():
+        hmix(1)
+
+    @pl.when((i == ni - 1) & (ni > 1))
+    def _():
+        hmix(2)
+
+    ya_up = yaup_s[:]
 
     # --- t path: 1x1 dot K=128 -> 64 ----------------------------------
     tf = tslabs[slot].reshape(S * w2, 128)
@@ -250,8 +288,7 @@ def seamk_kernel(
         x, w0_ref[:], b0_ref[:], w2_ref[:], b2_ref[:], w4_ref[:],
         b4_ref[:], w6_ref[:], b6_ref[:], w8_ref[:], b8_ref[:],
     )
-    oc = jax.lax.dynamic_slice_in_dim(o, roff, rows, axis=0)
-    out_ref[0] = jnp.transpose(oc, (0, 2, 1)).astype(out_ref.dtype)
+    _emit_extract(o, i, ni, rows, out_ref)
 
 
 def build_clamp128(v, rows, interpret):
@@ -343,6 +380,7 @@ def build_seamk(v, rows, interpret, ydt="float32"):
             scratch_shapes=[
                 pltpu.VMEM((2, S, W2, 128), jnp.bfloat16),
                 pltpu.VMEM((2, SY, W2 // 2, 128), ydtype),
+                pltpu.VMEM((S, W2, 64), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
