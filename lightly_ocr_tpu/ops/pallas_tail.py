@@ -23,7 +23,11 @@ conv_cls); numerics tested against the unfused flax modules in
 at small shapes (``scripts/check_pallas_tail_hw.py``).
 
 STATUS — ON by default on TPU (disable with
-``LIGHTLY_OCR_ENABLE_FUSED=none``).  The packed-single-dot form
+``LIGHTLY_OCR_ENABLE_FUSED=none``).  Where the geometry allows, the
+seam path now runs the SEAM-FUSED kernel (:func:`_seam_kernel`: 1x1
+pair + 2x bilinear upsample + ReLU in-kernel, clamped pad-free DMA
+from the raw trunk tensors — 24.57 -> 20.74 ms device at b16 960x640,
+``LIGHTLY_OCR_TAIL_SEAMK=0`` reverts).  The packed-single-dot form
 compiles in ~17 s with 128-col blocks and ~57 s at the default
 full-width geometry (the earlier per-row-sliced forms blew the remote
 compile service's budget outright) and beats the plain flax graph on
@@ -99,6 +103,64 @@ def _conv3_same(src, wk, bias):
         acc = acc + y[:, v : v + Wd, v * Co : (v + 1) * Co]
     out = jnp.maximum(acc + bias.reshape(1, 1, Co), 0.0)
     return out.astype(src.dtype)
+
+
+def _head_chain(
+    x,
+    w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
+    w6_ref, b6_ref, w8_ref, b8_ref,
+    rezero=lambda t: t,
+):
+    """conv_cls chain from the 32-ch stage-0 output to the 2-ch scores:
+    three packed-dot 3x3s then the two 1x1 head dots, all at constant
+    [S, Wd, C] geometry.  Shared by the legacy kernel (which rezeroes
+    out-of-image halo cells between stages) and the seam kernel (whose
+    clamped DMA makes every slab row a real image row — no mask)."""
+    S, Wd, _ = x.shape
+    x = rezero(_conv3_same(x, w0_ref[:], b0_ref[:]))      # [S, Wd, 32]
+    x = rezero(_conv3_same(x, w2_ref[:], b2_ref[:]))      # [S, Wd, 32]
+    x = _conv3_same(x, w4_ref[:], b4_ref[:])              # [S, Wd, 16]
+    xf = x.reshape(S * Wd, x.shape[-1])
+    e = jnp.maximum(
+        jax.lax.dot_general(
+            xf, w6_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b6_ref[:].reshape(1, -1),
+        0.0,
+    ).astype(x.dtype)
+    o = (
+        jax.lax.dot_general(
+            e, w8_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b8_ref[:].reshape(1, -1)
+    )
+    return o.reshape(S, Wd, 2)
+
+
+def _emit_extract(o, i, ni, rows, out_ref):
+    """Write the valid ``rows`` of the block's output, offset by
+    roff = i*rows - st.  With clamped DMA starts roff takes exactly
+    three values tied to the block index (0 first / HALO interior /
+    2*HALO last); Mosaic has no value-level dynamic_slice, so branch
+    on i with static slices."""
+
+    def put(roff):
+        oc = o[roff : roff + rows]
+        out_ref[0] = jnp.transpose(oc, (0, 2, 1)).astype(out_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        put(0)
+
+    @pl.when((i > 0) & (i < ni - 1))
+    def _():
+        put(HALO)
+
+    @pl.when((i == ni - 1) & (ni > 1))
+    def _():
+        put(2 * HALO)
 
 
 def _tail_kernel(
@@ -181,33 +243,150 @@ def _tail_kernel(
     # DMA-aligned slab are zero padding; slicing them off halves the
     # stage-A MXU passes)
     x = rezero(_conv3_same(slab[:, :, 0:64], wa_ref[:], ba_ref[:]))
-    x = rezero(_conv3_same(x, w0_ref[:], b0_ref[:]))      # [S, Wd, 32]
-    x = rezero(_conv3_same(x, w2_ref[:], b2_ref[:]))      # [S, Wd, 32]
-    x = _conv3_same(x, w4_ref[:], b4_ref[:])              # [S, Wd, 16]
-    xf = x.reshape(S * Wd, x.shape[-1])
-    e = jnp.maximum(
-        jax.lax.dot_general(
-            xf, w6_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + b6_ref[:].reshape(1, -1),
-        0.0,
-    ).astype(x.dtype)
-    o = (
-        jax.lax.dot_general(
-            e, w8_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + b8_ref[:].reshape(1, -1)
+    o = _head_chain(
+        x, w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
+        w6_ref, b6_ref, w8_ref, b8_ref, rezero=rezero,
     )
-    oc = o.reshape(S, Wd, 2)[
-        HALO : HALO + rows, HALO : HALO + cols
-    ]
+    oc = o[HALO : HALO + rows, HALO : HALO + cols]
     # channels-SECOND output: a [rows, 2, cols] block keeps the lane
     # dim 128-dense (cols); a [.., cols, 2] block lane-pads 2 -> 128
     # and the staging of that 64x-padded buffer blows the 16 MB scoped
     # VMEM limit at production shapes.
     out_ref[0] = jnp.transpose(oc, (0, 2, 1)).astype(out_ref.dtype)
+
+
+def _seam_kernel(
+    rows, h2, w2,
+    t_hbm, ya_hbm,
+    k1b_ref, b1_ref,
+    wa_ref, ba_ref, w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
+    w6_ref, b6_ref, w8_ref, b8_ref,
+    out_ref,
+    tslabs, yslabs, yaup_s, tsems, ysems,
+):
+    """Seam-fused tail: the upconv4 1x1 pair, the 2x bilinear upsample
+    and the bias/ReLU all run IN the kernel, so the only XLA-side work
+    left is the quarter-res y-dot (its N is zero-padded to 128 lanes,
+    which fuses the lane pad into the dot's own output write).  The
+    slab DMAs source the raw trunk tensors with CLAMPED row starts
+    (dims 0/1 of a 4D HBM memref are untiled — dynamic starts carry no
+    alignment constraint), and the slab carries NO W halo: with a
+    single full-width col block the W halo is pure zero padding that
+    ``_conv3_same``'s internal pad already provides.  Consequences vs
+    the legacy ``_tail_kernel`` (device A/B at b16 960x640,
+    ``scripts/check_tail_seamk_hw.py``): the halo+channel pad copy,
+    the upsample fusion and the xs relu round-trip all disappear —
+    24.57 -> 20.74 ms, fg-mask flips 0 of 2.4M, maxdiff 6.5e-4.
+
+    No rezero mask: every slab row is a real image row, and slab edges
+    coincide with image edges exactly where zero padding is correct;
+    interior-edge ring garbage is excluded by the extraction
+    discipline (first/interior/last block offsets 0/HALO/2*HALO).
+
+    Upsample semantics match ``jax.image.resize(..., "bilinear")`` at
+    scale 2 (half-pixel centers): even output j = 0.25*in[j/2-1] +
+    0.75*in[j/2], odd j = 0.75 / 0.25, edges clamped — exact on CPU
+    interpret, f32-reassociation-level on TPU.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    nsteps = pl.num_programs(0) * ni
+    S = rows + 2 * HALO
+    SY = S // 2 + 2
+    h4, w4 = h2 // 2, w2 // 2
+
+    def st_of(i_):
+        return jnp.clip(i_ * rows - HALO, 0, h2 - S)
+
+    def sy_of(i_):
+        return jnp.clip(st_of(i_) // 2 - 1, 0, h4 - SY)
+
+    def dma_t(b_, i_, slot):
+        return pltpu.make_async_copy(
+            t_hbm.at[b_, pl.ds(st_of(i_), S)], tslabs.at[slot],
+            tsems.at[slot],
+        )
+
+    def dma_y(b_, i_, slot):
+        return pltpu.make_async_copy(
+            ya_hbm.at[b_, pl.ds(sy_of(i_), SY)], yslabs.at[slot],
+            ysems.at[slot],
+        )
+
+    k = b * ni + i
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _():
+        dma_t(b, i, slot).start()
+        dma_y(b, i, slot).start()
+
+    @pl.when(k + 1 < nsteps)
+    def _():
+        kn = k + 1
+        bn, in_, sl = kn // ni, jax.lax.rem(kn, ni), jax.lax.rem(kn, 2)
+        dma_t(bn, in_, sl).start()
+        dma_y(bn, in_, sl).start()
+
+    dma_t(b, i, slot).wait()
+    dma_y(b, i, slot).wait()
+
+    # --- y path: W-upsample at SY rows, then H-interleave -------------
+    ys = yslabs[slot][:, :, 0:64].astype(jnp.float32)  # [SY, w4, 64]
+    ypw = jnp.pad(ys, ((0, 0), (1, 7), (0, 0)))
+    pc_ = ypw[:, 0:w4]
+    cc_ = ypw[:, 1 : 1 + w4]
+    nc_ = ypw[:, 2 : 2 + w4]
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, cc_.shape, 1)
+    ew = jnp.where(c_idx == 0, cc_, 0.25 * pc_ + 0.75 * cc_)
+    ow = jnp.where(c_idx == w4 - 1, cc_, 0.75 * cc_ + 0.25 * nc_)
+    # sublane-pair MERGE: [SY, w4, 2, 64] -> [SY, 2*w4, 64] (the
+    # inverse of the pool kernels' proven sublane-pair split)
+    yw = jnp.stack([ew, ow], axis=2).reshape(SY, 2 * w4, 64)
+    # H taps with edge duplication baked into the extended slab.
+    # d = st//2 - sy takes exactly three values tied to the block
+    # index (0 first / 1 interior / 2 last); no value-level
+    # dynamic_slice in Mosaic, so branch with static slices through
+    # the yaup scratch.
+    ye = jnp.concatenate([yw[0:1], yw, yw[SY - 1 : SY]], axis=0)
+
+    def hmix(dd):
+        prev = ye[dd : dd + S // 2]
+        cur = ye[dd + 1 : dd + 1 + S // 2]
+        nxt = ye[dd + 2 : dd + 2 + S // 2]
+        eh = 0.25 * prev + 0.75 * cur
+        oh = 0.75 * cur + 0.25 * nxt
+        yaup_s[:] = jnp.stack([eh, oh], axis=1).reshape(S, 2 * w4, 64)
+
+    @pl.when(i == 0)
+    def _():
+        hmix(0)
+
+    @pl.when((i > 0) & (i < ni - 1))
+    def _():
+        hmix(1)
+
+    @pl.when((i == ni - 1) & (ni > 1))
+    def _():
+        hmix(2)
+
+    # --- t path: the skip half of the seam 1x1 (K=128 dot) ------------
+    tf = tslabs[slot].reshape(S * w2, 128)
+    yb = jax.lax.dot_general(
+        tf, k1b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(S, w2, 64)
+
+    xs = jnp.maximum(
+        yaup_s[:] + yb + b1_ref[:].reshape(1, 1, -1), 0.0
+    ).astype(jnp.bfloat16)
+    x = _conv3_same(xs, wa_ref[:], ba_ref[:])
+    o = _head_chain(
+        x, w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
+        w6_ref, b6_ref, w8_ref, b8_ref,
+    )
+    _emit_extract(o, i, ni, rows, out_ref)
 
 
 def fold_bn(kernel, bias, scale, shift, mean, var, eps=1e-5):
@@ -272,6 +451,75 @@ def _pick_rows(h2: int) -> int:
         if h2 % r == 0:
             return r
     return 0
+
+
+def _pick_rows_seam(h2: int, w2: int) -> int:
+    """Row split for the seam-fused kernel (clamped DMA, no W halo).
+
+    Requirements: even geometry (clamped starts stay even so the
+    in-kernel upsample parity is per-block-constant), >=2 row blocks
+    with h2 >= rows + 2*HALO, w2 a multiple of 16 (slab and y-slab
+    sublane extents 8-aligned), and the slab volume bounded so the
+    kernel's scoped-VMEM stack fits: rows=96 x W2=320 measured ~103 MB
+    of the 110 MB budget (rows=120 overflowed by 16.8 MB), so cap
+    S*w2 at that measured-fitting volume.  Returns 0 when unsupported
+    — callers fall back to the legacy pad+kernel path."""
+    if h2 % 2 or w2 % 2 or w2 % 16:
+        return 0
+    r = _env_int("LIGHTLY_OCR_TAIL_SEAM_ROWS")
+    cands = (r,) if r is not None else (96, 48, 40, 24, 16, 8)
+    for rows in cands:
+        if rows % 2 == 0 and h2 % rows == 0:
+            S = rows + 2 * HALO
+            if h2 >= S and h2 // rows >= 2 and S * w2 <= 104 * 328:
+                return rows
+    return 0
+
+
+def _scores_from_seam(variables, y_lo, t, rows, interpret):
+    """Seam-kernel front half: ONE quarter-res XLA dot (N zero-padded
+    to 128 so the lane pad fuses into the dot's own write), then
+    everything else — the skip-half 1x1, the 2x bilinear upsample,
+    bias/ReLU and the head chain — runs inside :func:`_seam_kernel`.
+    Raw ``t`` is DMA'd directly from the trunk's output buffer."""
+    B, H2, W2, _ = t.shape
+    S = rows + 2 * HALO
+    SY = S // 2 + 2
+    (k1, b1, wa, ba, w0, b0, w2_, b2, w4_, b4, w6, b6, w8, b8) = tail_params(
+        variables
+    )
+    k1a = jnp.pad(k1[:64], ((0, 0), (0, 64)))
+    ya = jax.lax.dot_general(
+        y_lo.astype(jnp.bfloat16), k1a, (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    kernel = functools.partial(_seam_kernel, rows, H2, W2)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H2 // rows),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + [wspec] * 14,
+        out_specs=pl.BlockSpec(
+            (1, rows, 2, W2), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H2, 2, W2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, S, W2, 128), jnp.bfloat16),
+            pltpu.VMEM((2, SY, W2 // 2, 128), jnp.float32),
+            pltpu.VMEM((S, W2, 64), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        t.astype(jnp.bfloat16), ya, k1[64:], b1,
+        wa, ba, w0, b0, w2_, b2, w4_, b4, w6, b6, w8, b8,
+    )
 
 
 def tail_params(variables: dict) -> tuple:
@@ -413,6 +661,8 @@ def fused_tail_scores_cs_seam(
     """
     from lightly_ocr_tpu.models.vgg_unet import _upsample_to
 
+    import os
+
     B, H2, W2, _ = t.shape
     rows = _pick_rows(H2)
     if rows == 0:
@@ -420,6 +670,20 @@ def fused_tail_scores_cs_seam(
     cols = min(_env_int("LIGHTLY_OCR_TAIL_COLS",
                         W2 if W2 <= 384 else 128), W2)
     W2P = -(-W2 // cols) * cols
+    # Preferred form: the seam-fused kernel (1x1 pair + upsample +
+    # ReLU in-kernel, clamped DMA from the raw trunk tensors — see
+    # :func:`_seam_kernel`; device A/B 24.57 -> 20.74 ms at b16
+    # 960x640).  Needs one full-width col block and even geometry;
+    # LIGHTLY_OCR_TAIL_SEAMK=0 forces the legacy pad+kernel path.
+    if (
+        cols == W2 == W2P
+        and os.environ.get("LIGHTLY_OCR_TAIL_SEAMK", "1") != "0"
+        and y_lo.shape[1] == H2 // 2
+        and y_lo.shape[2] == W2 // 2
+    ):
+        rows_sk = _pick_rows_seam(H2, W2)
+        if rows_sk:
+            return _scores_from_seam(variables, y_lo, t, rows_sk, interpret)
     (k1, b1, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8) = tail_params(
         variables
     )

@@ -436,10 +436,25 @@ def main():
             v, y, tt, interpret=INTERPRET
         ),
         "clamp128": build_clamp128(v, rows, INTERPRET),
-        "seamk": build_seamk(v, rows, INTERPRET),
+        # rows=96 for seamk: its extra y-slab + yaup scratch put the
+        # rows=120 geometry 16.8M over the 110M scoped-vmem limit
+        "seamk": build_seamk(v, rows if INTERPRET else 96, INTERPRET),
     }
-
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    ctl_cache = "/tmp/tail_seamk_control.npy"
     outs = {}
+    if only:
+        keep = set(only[0].split(","))
+        if os.path.exists(ctl_cache) and "control" not in keep:
+            # editing this file re-keys every kernel in it (the Pallas
+            # backend_config embeds source locations), so reuse the
+            # saved control output instead of a 12-min recompile
+            outs["control"] = np.load(ctl_cache)
+            print("control: loaded cached output", flush=True)
+        else:
+            keep.add("control")
+        runs = {k: f for k, f in runs.items() if k in keep}
+
     for name, fn in runs.items():
         jfn = jax.jit(fn)
         try:
@@ -455,6 +470,8 @@ def main():
                 outs[name] = np.asarray(
                     jax.device_get(jfn(y_lo, t)), np.float32
                 )
+                if name == "control":
+                    np.save(ctl_cache, outs[name])
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
 

@@ -114,6 +114,56 @@ def test_seam_trunk_quant_matches_concat_trunk():
     assert frac > 0.98, frac
 
 
+def test_seam_kernel_matches_legacy_path():
+    """The seam-fused kernel (clamped DMA, in-kernel 1x1s + upsample +
+    ReLU — the serving default where the geometry allows) must match
+    the legacy pad+kernel seam path bit-for-bit in interpret mode: the
+    arithmetic is identical, only WHERE it runs moves (device A/B in
+    scripts/check_tail_seamk_hw.py: 24.57 -> 20.74 ms at b16 960x640,
+    fg-mask flips 0)."""
+    import os
+
+    from lightly_ocr_tpu.ops.pallas_tail import _pick_rows_seam
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 96, 64, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(11), x)
+    y_lo, t = VGG_UNetTrunk(dtype=jnp.bfloat16, seam=True).apply(v, x)
+    assert _pick_rows_seam(t.shape[1], t.shape[2]) == 24
+
+    fused_tail_scores_cs_seam.clear_cache()
+    got = np.asarray(
+        fused_tail_scores_cs_seam(v, y_lo, t, interpret=True), np.float32
+    )
+    os.environ["LIGHTLY_OCR_TAIL_SEAMK"] = "0"
+    try:
+        fused_tail_scores_cs_seam.clear_cache()
+        ref = np.asarray(
+            fused_tail_scores_cs_seam(v, y_lo, t, interpret=True),
+            np.float32,
+        )
+    finally:
+        del os.environ["LIGHTLY_OCR_TAIL_SEAMK"]
+        fused_tail_scores_cs_seam.clear_cache()
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_seam_kernel_geometry_gate():
+    """_pick_rows_seam rejects unsupported geometries (odd dims, too
+    few row blocks, VMEM-oversized slabs) so the dispatch falls back
+    to the legacy path instead of building an invalid kernel."""
+    from lightly_ocr_tpu.ops.pallas_tail import _pick_rows_seam
+
+    assert _pick_rows_seam(480, 320) == 96          # production bench
+    assert _pick_rows_seam(48, 32) == 24
+    assert _pick_rows_seam(47, 32) == 0             # odd H2
+    assert _pick_rows_seam(48, 24) == 0             # W2 % 16 != 0
+    assert _pick_rows_seam(8, 32) == 0              # no >=2-block split
+    r = _pick_rows_seam(480, 640)                   # VMEM cap honored
+    assert r == 40 and (r + 8) * 640 <= 104 * 328
+
+
 def test_seam_split_f32_near_exact():
     """In f32 the seam rewrite is exact up to accumulation order: the
     seam trunk (float path, no quant) must match the concat trunk to
