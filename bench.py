@@ -138,12 +138,12 @@ def main(argv=None) -> int:
                         "2-second snapshot of tunnel luck (the budget "
                         "guard below shrinks it when the compile ate "
                         "the window)")
-    p.add_argument("--depth", type=int, default=3,
-                   help="dispatches kept in flight (pipelining).  3 is "
-                        "the measured sweet spot on the axon tunnel: "
-                        "d2 88.5 / d3 144.6 / d4 146.2 r/s same-hour — "
-                        "depth 2 stalls the device on host decode + "
-                        "per-dispatch RPC latency")
+    p.add_argument("--depth", type=int, default=4,
+                   help="dispatches kept in flight (pipelining).  4 is "
+                        "the knee on the seam-kernel graph (same-hour: "
+                        "d3 161.8 / d4 165.3 / d5 158.4 r/s) — the "
+                        "faster device needs one more dispatch to hide "
+                        "host decode + per-dispatch RPC latency")
     p.add_argument("--receipt-h", type=int, default=600)
     p.add_argument("--receipt-w", type=int, default=400)
     p.add_argument("--prediction", default="Attention",
