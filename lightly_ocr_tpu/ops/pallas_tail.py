@@ -467,7 +467,17 @@ def _pick_rows_seam(h2: int, w2: int) -> int:
     if h2 % 2 or w2 % 2 or w2 % 16:
         return 0
     r = _env_int("LIGHTLY_OCR_TAIL_SEAM_ROWS")
-    cands = (r,) if r is not None else (96, 48, 40, 24, 16, 8)
+    if r is not None:
+        cands = (r,)
+    else:
+        # Every even divisor of h2, largest first: bigger row blocks
+        # amortize the fixed 2*HALO halo (the rows device sweep), and
+        # non-power-of-two heights (canvas 928 -> h2=464 -> rows=58)
+        # must not fall back to the slower legacy pad path just
+        # because a fixed candidate list missed their divisors.
+        cands = tuple(
+            d for d in range(h2 // 2, 1, -2) if h2 % d == 0
+        )
     for rows in cands:
         if rows % 2 == 0 and h2 % rows == 0:
             S = rows + 2 * HALO

@@ -149,6 +149,52 @@ def test_seam_kernel_matches_legacy_path():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
+def test_seam_kernel_non_pow2_rows_exact():
+    """Non-power-of-two row split (rows=58 — the 928-high canvas's
+    H/2=464=8x58 geometry, reachable only through the generalized
+    divisor search) matches the legacy seam path in interpret mode.
+
+    NOT bit-for-bit: the in-kernel upsample and ``jax.image.resize``
+    differ at fp-reassociation level (measured f32 maxdiff 3e-8 on the
+    pre-ReLU activation), and the shared bf16 cast of ``xs``
+    occasionally rounds the two a ulp apart — each flip smears into a
+    ~9x9 patch of ~1e-4 score deltas through the head chain's
+    receptive field (the rows=24 gate above passes bit-exact only
+    because its seed happens to produce zero flips).  The gates here
+    pin what serving needs: fg-mask identity at the 0.4 threshold and
+    near-total bitwise agreement."""
+    import os
+
+    from lightly_ocr_tpu.ops.pallas_tail import _pick_rows_seam
+
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.standard_normal((1, 232, 64, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(29), x)
+    y_lo, t = VGG_UNetTrunk(dtype=jnp.bfloat16, seam=True).apply(v, x)
+    assert _pick_rows_seam(t.shape[1], t.shape[2]) == 58
+
+    fused_tail_scores_cs_seam.clear_cache()
+    got = np.asarray(
+        fused_tail_scores_cs_seam(v, y_lo, t, interpret=True), np.float32
+    )
+    os.environ["LIGHTLY_OCR_TAIL_SEAMK"] = "0"
+    try:
+        fused_tail_scores_cs_seam.clear_cache()
+        ref = np.asarray(
+            fused_tail_scores_cs_seam(v, y_lo, t, interpret=True),
+            np.float32,
+        )
+    finally:
+        del os.environ["LIGHTLY_OCR_TAIL_SEAMK"]
+        fused_tail_scores_cs_seam.clear_cache()
+    assert got.shape == ref.shape
+    d = np.abs(got - ref)
+    assert d.max() < 1e-3, d.max()
+    assert np.mean(got == ref) > 0.95
+    np.testing.assert_array_equal(got > 0.4, ref > 0.4)
+
+
 def test_seam_kernel_geometry_gate():
     """_pick_rows_seam rejects unsupported geometries (odd dims, too
     few row blocks, VMEM-oversized slabs) so the dispatch falls back
