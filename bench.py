@@ -7,8 +7,12 @@ over max_boxes crops per receipt.
 
 Honest methodology:
 * throughput is measured over a pipelined steady state (``--depth``
-  dispatches in flight, default 2) so host work overlaps device compute
-  the way a serving loop runs — not a lone dispatch with ``min()``;
+  dispatches in flight, default ``Config.serving_depth``) so host work
+  overlaps device compute the way a serving loop runs — not a lone
+  dispatch with ``min()``; the depth <-> (r/s, p50, p95) frontier is
+  tabulated in BENCH.md;
+* ``--mesh data=N`` routes through the ``BatchedOCR(mesh=...)``
+  shard_map data-parallel path and reports aggregate + per-chip r/s;
 * host-side text DECODING of every result is inside the timed loop;
 * reported throughput uses the TOTAL wall time of all timed dispatches
   (median-free), and per-dispatch latency is reported as p50.
@@ -74,8 +78,15 @@ def _emit(metric: str, rps: float) -> None:
     _FALLBACK["done"] = True
 
 
-def _emit_provisional(metric: str, rps: float) -> None:
-    line = _json_line(metric + " [provisional]", rps)
+def _emit_provisional(metric: str, rps: float, dispatches: int) -> None:
+    # The window size is part of the label: a provisional number over a
+    # handful of dispatches includes pipeline fill and must not be
+    # compared against full steady-state lines across rounds.
+    line = _json_line(
+        f"{metric} [provisional, {dispatches}-dispatch window incl. "
+        "pipeline fill]",
+        rps,
+    )
     print(line, file=sys.stderr, flush=True)
     _FALLBACK["line"] = line
 
@@ -124,7 +135,8 @@ def _steady_state(ocr, canvases, gray, inv_ratio, batch, dispatches, depth):
     total = time.perf_counter() - t0
     rps = batch * dispatches / total
     p50 = float(np.median(latencies))
-    return rps, p50, sample
+    p95 = float(np.percentile(latencies, 95))
+    return rps, p50, p95, sample
 
 
 def main(argv=None) -> int:
@@ -138,12 +150,20 @@ def main(argv=None) -> int:
                         "2-second snapshot of tunnel luck (the budget "
                         "guard below shrinks it when the compile ate "
                         "the window)")
-    p.add_argument("--depth", type=int, default=4,
-                   help="dispatches kept in flight (pipelining).  4 is "
-                        "the knee on the seam-kernel graph (same-hour: "
-                        "d3 161.8 / d4 165.3 / d5 158.4 r/s) — the "
-                        "faster device needs one more dispatch to hide "
-                        "host decode + per-dispatch RPC latency")
+    p.add_argument("--depth", type=int, default=None,
+                   help="dispatches kept in flight (pipelining). "
+                        "Default: Config.serving_depth (4 — the knee "
+                        "on the seam-kernel graph, same-hour: d3 161.8 "
+                        "/ d4 165.3 / d5 158.4 r/s; see the BENCH.md "
+                        "depth table for the latency frontier)")
+    p.add_argument("--mesh", default=None, metavar="data=N",
+                   help="run the shard_map data-parallel serving path "
+                        "over an N-device mesh and report aggregate + "
+                        "per-chip r/s.  Correctness-testable today on "
+                        "the virtual CPU mesh (XLA_FLAGS=--xla_force_"
+                        "host_platform_device_count=N JAX_PLATFORMS="
+                        "cpu); one command the day multi-chip TPU "
+                        "hardware exists.  batch must divide by N.")
     p.add_argument("--receipt-h", type=int, default=600)
     p.add_argument("--receipt-w", type=int, default=400)
     p.add_argument("--prediction", default="Attention",
@@ -167,7 +187,25 @@ def main(argv=None) -> int:
     if args.fp32:
         args.int8 = False
 
+    # Surface aotcache hit/store lines to stderr when asked — the mint
+    # script (scripts/mint_serving_exe.sh) greps them to verify the
+    # committed executable actually loads warm.  stdout stays JSON-only.
+    import logging
+
+    logging.basicConfig(
+        level=os.environ.get("LIGHTLY_OCR_LOGLEVEL", "WARNING").upper(),
+        stream=sys.stderr,
+    )
+
     import jax
+
+    # Mirror tests/conftest.py: the ambient env exports JAX_PLATFORMS=
+    # axon (the TPU tunnel) and plugin registration can win over a
+    # user's JAX_PLATFORMS=cpu — honor the explicit CPU request so
+    # `--mesh data=N` is testable on the virtual CPU mesh.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from lightly_ocr_tpu.config import Config
@@ -185,13 +223,32 @@ def main(argv=None) -> int:
                  max_boxes=args.boxes, quant_int8=args.int8,
                  **({"bucket_granularity": args.granularity}
                     if args.granularity else {}))
+    if args.depth is None:
+        args.depth = cfg.serving_depth
+
+    mesh = None
+    if args.mesh:
+        from lightly_ocr_tpu.parallel.mesh import make_mesh
+
+        m = dict(kv.split("=") for kv in args.mesh.split(","))
+        n_data = int(m.pop("data", len(jax.devices())))
+        if m:
+            p.error(f"--mesh: unknown axes {sorted(m)} (only data=N)")
+        if args.batch % n_data:
+            p.error(f"--mesh data={n_data}: batch {args.batch} must "
+                    "divide by the data axis")
+        if n_data > len(jax.devices()):
+            p.error(f"--mesh data={n_data}: only {len(jax.devices())} "
+                    "devices visible")
+        mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
 
     # Build engines (random weights unless checkpoints exist in
     # cfg.pretrained) and the fused batch program.
     det = CRAFT(cfg, dtype=dtype)
     rec = CRNN(cfg, dtype=dtype)
     ocr = BatchedOCR(cfg, det.variables, rec.variables,
-                     boxes_per_image=args.boxes, dtype=dtype)
+                     boxes_per_image=args.boxes, dtype=dtype,
+                     mesh=mesh)
 
     # Synthetic receipt batch -> canvases on device (ingest-side prep).
     rng = np.random.default_rng(0)
@@ -210,12 +267,18 @@ def main(argv=None) -> int:
     gray = jnp.stack(grays)
     inv_ratio = 1.0 / plan.ratio
 
+    mesh_tag = ""
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        mesh_tag = f", mesh data={n_data} [aggregate]"
     metric = (
-        "receipts/sec/chip steady-state incl. host decode "
+        f"receipts/sec{'' if mesh is not None else '/chip'} "
+        "steady-state incl. host decode "
         f"(canvas {plan.canvas_h}x{plan.canvas_w}, "
         f"{args.boxes} boxes/receipt, batch {args.batch}, "
         f"depth {args.depth}, {args.prediction}, "
-        f"{'fp32' if args.fp32 else 'int8' if args.int8 else 'bf16'})"
+        f"{'fp32' if args.fp32 else 'int8' if args.int8 else 'bf16'}"
+        f"{mesh_tag})"
     )
     budget = float(os.environ.get("LIGHTLY_OCR_BENCH_BUDGET_S", "3000"))
 
@@ -229,12 +292,12 @@ def main(argv=None) -> int:
     # stdout number within seconds of warmup even if the run is later
     # killed.  Also calibrates how many dispatches fit in the budget.
     t0 = time.perf_counter()
-    rps0, _, _ = _steady_state(
+    rps0, _, _, _ = _steady_state(
         ocr, canvases, gray, inv_ratio, args.batch, max(2, args.depth),
         args.depth,
     )
     window = time.perf_counter() - t0
-    _emit_provisional(metric, rps0)
+    _emit_provisional(metric, rps0, max(2, args.depth))
     per_dispatch = window / max(2, args.depth)
     remaining = budget - (time.perf_counter() - _T_START) - 30.0
     dispatches = args.dispatches
@@ -246,16 +309,24 @@ def main(argv=None) -> int:
             file=sys.stderr, flush=True,
         )
 
-    rps, p50, _ = _steady_state(
+    rps, p50, p95, _ = _steady_state(
         ocr, canvases, gray, inv_ratio, args.batch, dispatches,
         args.depth,
     )
     _emit(metric, rps)
     print(
-        f"p50 dispatch latency: {p50*1e3:.1f} ms "
+        f"p50 dispatch latency: {p50*1e3:.1f} ms, p95 {p95*1e3:.1f} ms "
         f"({p50*1e3/args.batch:.2f} ms/receipt amortized)",
         file=sys.stderr, flush=True,
     )
+    if mesh is not None:
+        print(
+            f"mesh data={n_data}: {rps:.1f} r/s aggregate = "
+            f"{rps/n_data:.1f} r/s/chip across {n_data} devices "
+            f"({jax.devices()[0].device_kind}); DP bit-equality "
+            "gated by tests/test_multichip.py",
+            file=sys.stderr, flush=True,
+        )
 
     if args.stage_times and not hasattr(ocr, "_stage_fns"):
         print(
@@ -297,7 +368,7 @@ def main(argv=None) -> int:
         # BASELINE config 5: 64 receipts in flight through the batched
         # path (batch x depth = 64)
         depth64 = max(1, 64 // args.batch)
-        rps64, p5064, _ = _steady_state(
+        rps64, p5064, _, _ = _steady_state(
             ocr, canvases, gray, inv_ratio, args.batch,
             max(args.dispatches, 2 * depth64), depth64,
         )

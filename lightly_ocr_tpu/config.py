@@ -157,6 +157,15 @@ class Config:
     # (pair-lane; interpret-mode A/B only).  Numerically identical.
     # Env override: LIGHTLY_OCR_CPOOL_POOL.
     cpool_pool: str = "strided"
+    # Serving pipeline depth: dispatches kept in flight by the serving
+    # loop (server InferenceWorker / bench steady state).  The
+    # latency<->throughput knob: each +1 adds one full batch of p50
+    # latency but hides more host decode + dispatch RPC behind device
+    # compute.  Measured frontier on the seam-kernel graph (BENCH.md
+    # round 4 table): d3 161.8 r/s @ p50 385 ms, d4 165.3 @ 481 —
+    # depth 4 is the throughput default; latency-sensitive deployments
+    # set 2-3.
+    serving_depth: int = 4
     # Optional shallow-fusion LM for ctc_decode="beam": path to a .npy
     # [C, C] float array of transition log-priors (C = derived_num_
     # classes; lm[p, c] is added when a prefix ending in label p

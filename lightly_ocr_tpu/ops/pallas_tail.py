@@ -453,36 +453,75 @@ def _pick_rows(h2: int) -> int:
     return 0
 
 
+_SEAM_VMEM_BUDGET = 110 * 1024 * 1024  # == vmem_limit_bytes at pallas_call
+
+
+def _seam_vmem_bytes(rows: int, w2: int) -> int:
+    """Modeled VMEM footprint of one ``_seam_kernel`` grid step.
+
+    Calibrated against two device anchors at W2=320
+    (``scripts/check_tail_seamk_hw.py``): rows=96 fits at ~103 MB of
+    the 110 MB budget; rows=120 overflows it by 16.8 MB (~126.8 MB).
+    Component analysis: the double-buffered t-slabs (2 slots x 128
+    lanes x 2 B = 512 B/cell), the yaup scratch (256 B/cell) and
+    Mosaic's live conv temporaries (the xr lane-concat, packed-dot
+    f32 outputs and stage tensors of ``_conv3_same``/``_head_chain``)
+    together measure ~2980 B per S*W2 slab cell at BOTH anchors
+    (solving the two-point system gives 2979/2982); the y-slabs add
+    exactly 1024 B per SY*(W2/2) cell.  3000 B/cell keeps ~0.7%
+    margin.  This replaces the earlier magic ``S*w2 <= 104*328`` cap
+    and scales the row choice to any canvas width instead of only the
+    measured one."""
+    S = rows + 2 * HALO
+    SY = S // 2 + 2
+    return 3000 * S * w2 + 1024 * SY * (w2 // 2)
+
+
 def _pick_rows_seam(h2: int, w2: int) -> int:
     """Row split for the seam-fused kernel (clamped DMA, no W halo).
 
     Requirements: even geometry (clamped starts stay even so the
-    in-kernel upsample parity is per-block-constant), >=2 row blocks
-    with h2 >= rows + 2*HALO, w2 a multiple of 16 (slab and y-slab
-    sublane extents 8-aligned), and the slab volume bounded so the
-    kernel's scoped-VMEM stack fits: rows=96 x W2=320 measured ~103 MB
-    of the 110 MB budget (rows=120 overflowed by 16.8 MB), so cap
-    S*w2 at that measured-fitting volume.  Returns 0 when unsupported
-    — callers fall back to the legacy pad+kernel path."""
+    in-kernel upsample parity is per-block-constant), w2 a multiple of
+    16 (slab and y-slab sublane extents 8-aligned), >=2 row blocks,
+    and two invariants of the kernel's static-offset branches:
+
+    * ``rows >= 6`` — interior blocks (0 < i < ni-1) assume UNCLAMPED
+      starts: ``hmix(1)`` needs ``sy = st//2 - 1 >= 0`` at i=1, i.e.
+      ``rows - HALO >= 2``;
+    * ``h2 >= S + 4`` — the y-slab DMA reads SY = S//2 + 2 rows from
+      the H/4 tensor, so ``h4 >= SY``; this also pins the last block's
+      ``hmix(2)`` offset exactly.
+
+    The slab volume is bounded by the calibrated VMEM model
+    (:func:`_seam_vmem_bytes`) instead of a fixed-shape cap.  Returns
+    0 when unsupported — callers fall back to the legacy pad+kernel
+    path (and log why, see :func:`fused_tail_scores_cs_seam`)."""
     if h2 % 2 or w2 % 2 or w2 % 16:
         return 0
     r = _env_int("LIGHTLY_OCR_TAIL_SEAM_ROWS")
     if r is not None:
         cands = (r,)
     else:
-        # Every even divisor of h2, largest first: bigger row blocks
-        # amortize the fixed 2*HALO halo (the rows device sweep), and
-        # non-power-of-two heights (canvas 928 -> h2=464 -> rows=58)
-        # must not fall back to the slower legacy pad path just
-        # because a fixed candidate list missed their divisors.
-        cands = tuple(
-            d for d in range(h2 // 2, 1, -2) if h2 % d == 0
-        )
+        # Every even divisor of h2 >= 6, largest first: bigger row
+        # blocks amortize the fixed 2*HALO halo (the rows device
+        # sweep), and non-power-of-two heights (canvas 928 -> h2=464
+        # -> rows=58) must not fall back to the slower legacy pad path
+        # just because a fixed candidate list missed their divisors.
+        # The start is rounded DOWN TO EVEN (h2 % 4 == 2 makes h2//2
+        # odd, which would skip every even divisor); the floor of 6 is
+        # the interior-block invariant above.
+        start = h2 // 2 - (h2 // 2) % 2
+        cands = tuple(d for d in range(start, 5, -2) if h2 % d == 0)
     for rows in cands:
-        if rows % 2 == 0 and h2 % rows == 0:
-            S = rows + 2 * HALO
-            if h2 >= S and h2 // rows >= 2 and S * w2 <= 104 * 328:
-                return rows
+        if rows < 6 or rows % 2 or h2 % rows:
+            continue
+        S = rows + 2 * HALO
+        if (
+            h2 >= S + 4
+            and h2 // rows >= 2
+            and _seam_vmem_bytes(rows, w2) <= _SEAM_VMEM_BUDGET
+        ):
+            return rows
     return 0
 
 
@@ -671,29 +710,42 @@ def fused_tail_scores_cs_seam(
     """
     from lightly_ocr_tpu.models.vgg_unet import _upsample_to
 
+    import logging
     import os
 
+    log = logging.getLogger(__name__)
     B, H2, W2, _ = t.shape
     rows = _pick_rows(H2)
     if rows == 0:
         raise ValueError(f"fused tail: H/2={H2} not divisible by 4")
-    cols = min(_env_int("LIGHTLY_OCR_TAIL_COLS",
-                        W2 if W2 <= 384 else 128), W2)
-    W2P = -(-W2 // cols) * cols
     # Preferred form: the seam-fused kernel (1x1 pair + upsample +
     # ReLU in-kernel, clamped DMA from the raw trunk tensors — see
     # :func:`_seam_kernel`; device A/B 24.57 -> 20.74 ms at b16
-    # 960x640).  Needs one full-width col block and even geometry;
+    # 960x640).  The kernel is always full-width (no col grid) — the
+    # VMEM model in :func:`_pick_rows_seam` scales the row split down
+    # on wide canvases, so the gate is geometry, not width.
     # LIGHTLY_OCR_TAIL_SEAMK=0 forces the legacy pad+kernel path.
-    if (
-        cols == W2 == W2P
-        and os.environ.get("LIGHTLY_OCR_TAIL_SEAMK", "1") != "0"
-        and y_lo.shape[1] == H2 // 2
-        and y_lo.shape[2] == W2 // 2
-    ):
+    if os.environ.get("LIGHTLY_OCR_TAIL_SEAMK", "1") == "0":
+        log.info("seam kernel fallback: LIGHTLY_OCR_TAIL_SEAMK=0")
+    elif y_lo.shape[1] != H2 // 2 or y_lo.shape[2] != W2 // 2:
+        log.info(
+            "seam kernel fallback: y_lo %s is not half-res of t %s",
+            y_lo.shape, t.shape,
+        )
+    else:
         rows_sk = _pick_rows_seam(H2, W2)
         if rows_sk:
             return _scores_from_seam(variables, y_lo, t, rows_sk, interpret)
+        log.info(
+            "seam kernel fallback: no row split for H/2=%d W/2=%d "
+            "(needs even dims, W/2 %% 16 == 0, an even divisor >= 6 "
+            "with >= 2 blocks, H/2 >= rows + 12, and modeled VMEM "
+            "<= %d MB — see _pick_rows_seam)",
+            H2, W2, _SEAM_VMEM_BUDGET // (1024 * 1024),
+        )
+    cols = min(_env_int("LIGHTLY_OCR_TAIL_COLS",
+                        W2 if W2 <= 384 else 128), W2)
+    W2P = -(-W2 // cols) * cols
     (k1, b1, wa, ba, w0, b0, w2, b2, w4, b4, w6, b6, w8, b8) = tail_params(
         variables
     )
