@@ -95,15 +95,19 @@ def convert_lmdb(lmdb_root: str, out_path: str) -> int:
     return len(ds)
 
 
-def render_word(text: str, rng: np.random.Generator) -> bytes:
+def render_word(
+    text: str, rng: np.random.Generator, height: int | None = None
+) -> bytes:
     """Render one word to grayscale PNG bytes (synthetic MJSynth stand-in).
 
     The glyphs scale with the image height (PIL's default bitmap font is
     ~11 px regardless of canvas; characters must fill the crop or the
-    32x100 recognizer input degenerates to specks)."""
+    32x100 recognizer input degenerates to specks).  ``height`` pins the
+    crop height (used by :func:`synthesize_receipt` to place words on a
+    line grid); default: random 24-48."""
     from PIL import Image, ImageDraw, ImageFont
 
-    h = int(rng.integers(24, 48))
+    h = int(rng.integers(24, 48)) if height is None else int(height)
     w = max(int(len(text) * h * 0.62) + 6, 16)
     bg = int(rng.integers(180, 255))
     fg = int(rng.integers(0, 80))
@@ -138,6 +142,64 @@ def synthesize_words(
             w.add(text, render_word(text, rng))
             labels.append(text)
     return labels
+
+
+def synthesize_receipt(
+    rng: np.random.Generator,
+    height: int = 320,
+    width: int = 256,
+    charset: str = DEFAULT_CHARSET,
+    min_len: int = 2,
+    max_len: int = 8,
+    margin: int = 10,
+) -> tuple[np.ndarray, list[dict]]:
+    """Compose one synthetic receipt from :func:`render_word` crops.
+
+    Returns ``(rgb_uint8 [H, W, 3] equal-channel, words)`` where
+    ``words = [{"rect": [r0, c0, r1, c1], "text": str}, ...]`` — the
+    LOR1 detection annotation shape consumed by
+    :func:`~lightly_ocr_tpu.train.pseudo_labels.write_detection_records`.
+    Words flow line by line with >=24 px horizontal separation so the
+    affinity supervision (within-word only) matches the visual layout;
+    dark glyphs min-compose onto light paper noise like a printed
+    receipt.  No reference counterpart (the reference ships pretrained
+    weights instead of detector training data,
+    ``/root/reference/README.md:87-91,110``)."""
+    from PIL import Image
+
+    paper = np.clip(
+        235 + rng.standard_normal((height, width)) * 4.0, 0, 255
+    )
+    chars = list(charset)
+    words: list[dict] = []
+    r = margin
+    while True:
+        line_h = int(rng.integers(20, 34))
+        if r + line_h + margin >= height:
+            break
+        c = margin + int(rng.integers(0, 24))
+        while True:
+            k = int(rng.integers(min_len, max_len + 1))
+            text = "".join(rng.choice(chars, size=k))
+            crop = np.asarray(
+                Image.open(
+                    io.BytesIO(render_word(text, rng, height=line_h))
+                ).convert("L"),
+                np.float64,
+            )
+            wh, ww = crop.shape
+            if c + ww + margin > width:
+                break
+            paper[r : r + wh, c : c + ww] = np.minimum(
+                paper[r : r + wh, c : c + ww], crop
+            )
+            words.append(
+                {"rect": [r, c, r + wh, c + ww], "text": text}
+            )
+            c += ww + int(rng.integers(24, 56))
+        r += line_h + int(rng.integers(10, 22))
+    g = paper.astype(np.uint8)
+    return np.stack([g, g, g], axis=-1), words
 
 
 def main(argv: Sequence[str] | None = None) -> int:

@@ -1,0 +1,323 @@
+"""Train-from-scratch demo: the framework learns and READS (VERDICT r3 #4).
+
+The reference ships pretrained Google-Drive weights this environment
+cannot fetch (``/root/reference/scripts/get_model.sh``), so its one
+remaining product advantage over this repo was a demonstrated
+read-text-end-to-end capability.  This script closes that gap with
+synthetic data only:
+
+1. **data**    — synthetic word records (``data/generator.py
+   synthesize_words``: PIL-rendered charset words) for the recognizer;
+   synthetic receipts (``synthesize_receipt``: the same rendered words
+   composed on paper noise with word-box annotations) pushed through
+   the pseudo-label pipeline (``train/pseudo_labels.py``) for the
+   detector.
+2. **crnn**    — None/TPS-ResNet-biLSTM-CTC via the production
+   ``Trainer`` (Adam; the reference-default Adadelta needs 10x the
+   steps).  Target: >=90% exact-match on a held-out set.
+3. **craft**   — ``train_craft(records=...)`` on the annotated
+   receipts (word boxes -> char gaussians -> OHEM-MSE).
+4. **eval**    — held-out word accuracy + END-TO-END: fresh receipts
+   through the real ``pipeline.get_text_detailed`` chain
+   (detect -> crop -> recognize) with the trained checkpoints; reports
+   detection recall (IoU-matched) and word read accuracy.
+5. **export**  — bf16 inference checkpoints (params + batch_stats,
+   no opt state) for committing, + ``docs/DEMO_REPORT.md``.
+
+Usage (TPU box; stages are resumable):
+    python scripts/train_demo.py --stage all
+    python scripts/train_demo.py --stage eval   # re-run scoring only
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+DATA = os.path.join(REPO, "data", "demo")
+CKPT = os.path.join(REPO, "save_models")
+CRNN_DIR = os.path.join(CKPT, "demo_crnn")
+CRAFT_DIR = os.path.join(CKPT, "demo_craft")
+REPORT = os.path.join(REPO, "docs", "DEMO_REPORT.md")
+RH, RW = 320, 256  # receipt/pipeline/training canvas (multiple of 32)
+
+
+def _demo_cfg(prediction="CTC", transform="None"):
+    from lightly_ocr_tpu.config import load_config
+
+    return load_config(os.path.join(REPO, "config.yml")).replace(
+        prediction=prediction,
+        transform=transform,
+        adam=True,
+        lr=1e-3,
+        batch_size=64,
+        workers=0,
+        keep_ratio=False,
+        train_root=os.path.join(DATA, "words_train.lor"),
+        val_root=os.path.join(DATA, "words_val.lor"),
+        log_dir=os.path.join(REPO, "logs_demo"),
+        # e2e serving on the demo receipts: content at native scale,
+        # reference CRAFT-paper thresholds
+        magnify_ratio=1.0,
+        bucket_granularity=32,
+        max_boxes=64,
+    )
+
+
+def stage_data(args):
+    from lightly_ocr_tpu.data.generator import (
+        synthesize_receipt,
+        synthesize_words,
+    )
+    from lightly_ocr_tpu.train.pseudo_labels import write_detection_records
+
+    os.makedirs(DATA, exist_ok=True)
+    t0 = time.perf_counter()
+    synthesize_words(
+        os.path.join(DATA, "words_train.lor"), n=args.words, seed=11
+    )
+    synthesize_words(
+        os.path.join(DATA, "words_val.lor"), n=args.words_val, seed=13
+    )
+    rng = np.random.default_rng(17)
+    n = write_detection_records(
+        os.path.join(DATA, "receipts_train.lor"),
+        (synthesize_receipt(rng, RH, RW) for _ in range(args.receipts)),
+    )
+    print(
+        f"data: {args.words} train words, {args.words_val} val words, "
+        f"{n} receipts in {time.perf_counter() - t0:.0f}s",
+        flush=True,
+    )
+
+
+def stage_crnn(args):
+    from lightly_ocr_tpu.train.trainer import Trainer, build_loaders
+
+    cfg = _demo_cfg(transform=args.transform).replace(
+        num_iters=args.crnn_iters,
+        val_interval=max(200, args.crnn_iters // 10),
+        save_interval=max(500, args.crnn_iters // 4),
+        num_epochs=10_000,  # iterate until num_iters
+    )
+    trainer = Trainer(cfg)
+    train_loader, val_loader = build_loaders(cfg)
+    trainer.fit(train_loader, val_loader)
+    print(f"crnn: best held-out exact-match {trainer.best_acc:.3f}",
+          flush=True)
+    # the Trainer already checkpoints best_acc under log_dir; mirror
+    # the final-best into the demo checkpoint dir for eval/export
+    _mirror_best_crnn()
+
+
+def _mirror_best_crnn():
+    import shutil
+
+    src = os.path.join(REPO, "logs_demo", "best_acc")
+    if os.path.isdir(src):
+        if os.path.isdir(CRNN_DIR):
+            shutil.rmtree(CRNN_DIR)
+        shutil.copytree(src, CRNN_DIR)
+
+
+def stage_craft(args):
+    from lightly_ocr_tpu.train.craft import train_craft
+
+    _, state, losses = train_craft(
+        num_steps=args.craft_steps,
+        batch=args.craft_batch,
+        height=RH,
+        width=RW,
+        lr=1e-3,
+        seed=5,
+        checkpoint_dir=CRAFT_DIR,
+        records=os.path.join(DATA, "receipts_train.lor"),
+    )
+    print(f"craft: loss {losses[0]:.4f} -> {losses[-1]:.4f} "
+          f"({args.craft_steps} steps)", flush=True)
+
+
+def _load_engines(transform):
+    """Engines wrapping the trained checkpoints."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightly_ocr_tpu.engines import CRAFT, CRNN
+    from lightly_ocr_tpu.models.crnn import CRNNet
+    from lightly_ocr_tpu.models.vgg_unet import VGG_UNet
+    from lightly_ocr_tpu.train.craft import init_craft_state
+    from lightly_ocr_tpu.train.train_step import init_train_state
+    from lightly_ocr_tpu.utils.checkpoint import (
+        load_variables_for_inference,
+    )
+
+    cfg = _demo_cfg(transform=transform)
+    _, tmpl = init_train_state(cfg, jax.random.key(0))
+    rec_vars = load_variables_for_inference(CRNN_DIR, tmpl)
+    _, dtmpl = init_craft_state(jax.random.key(0), image_hw=(RH, RW))
+    det_vars = load_variables_for_inference(CRAFT_DIR, dtmpl)
+    det = CRAFT(cfg, variables=det_vars)
+    rec = CRNN(cfg, variables=rec_vars)
+    return cfg, det, rec
+
+
+def _rect_iou(a, b):
+    r0, c0 = max(a[0], b[0]), max(a[1], b[1])
+    r1, c1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, r1 - r0) * max(0, c1 - c0)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / max(ua, 1e-9)
+
+
+def stage_eval(args):
+    from lightly_ocr_tpu.data.generator import synthesize_receipt
+    from lightly_ocr_tpu.pipeline import get_text_detailed
+    from lightly_ocr_tpu.train.trainer import Trainer, build_loaders
+
+    # --- held-out word accuracy with the best checkpoint -------------
+    cfg = _demo_cfg(transform=args.transform).replace(
+        saved_model_path=CRNN_DIR, max_iter=50
+    )
+    trainer = Trainer(cfg)
+    trainer.maybe_resume()
+    _, val_loader = build_loaders(cfg)
+    ev = trainer.evaluate(val_loader)
+    word_acc = ev["accuracy"]
+    print(f"eval: held-out word exact-match {word_acc:.3f} "
+          f"({ev['len_data']} words)", flush=True)
+
+    # --- end-to-end receipts through the real pipeline ---------------
+    cfg, det, rec = _load_engines(args.transform)
+    rng = np.random.default_rng(23)
+    got_words = 0
+    total_words = 0
+    detected = 0
+    for _ in range(args.eval_receipts):
+        image, words = synthesize_receipt(rng, RH, RW)
+        items = get_text_detailed(image, det, rec)
+        total_words += len(words)
+        for w in words:
+            best, best_iou = None, 0.0
+            for it in items:
+                iou = _rect_iou(w["rect"], it["rect"])
+                if iou > best_iou:
+                    best, best_iou = it, iou
+            if best_iou >= 0.3:
+                detected += 1
+                if best["text"] == w["text"]:
+                    got_words += 1
+    det_recall = detected / max(total_words, 1)
+    read_acc = got_words / max(total_words, 1)
+    print(
+        f"eval e2e: {args.eval_receipts} receipts, {total_words} words — "
+        f"detection recall {det_recall:.3f}, read accuracy {read_acc:.3f}",
+        flush=True,
+    )
+    return {
+        "word_acc": word_acc,
+        "val_words": ev["len_data"],
+        "det_recall": det_recall,
+        "read_acc": read_acc,
+        "total_words": total_words,
+        "samples": list(zip(ev["labels"][:8], ev["preds"][:8])),
+    }
+
+
+def stage_export(args, metrics):
+    """bf16 inference checkpoints + report."""
+    import jax
+
+    from lightly_ocr_tpu.utils.checkpoint import save_checkpoint
+    from lightly_ocr_tpu.models.vgg_unet import VGG_UNet  # noqa: F401
+
+    cfg, det, rec = _load_engines(args.transform)
+
+    import jax.numpy as jnp
+
+    def bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32
+            else a,
+            tree,
+        )
+
+    for name, vs in (("demo_crnn_bf16", rec.variables),
+                     ("demo_craft_bf16", det.variables)):
+        save_checkpoint(
+            os.path.join(CKPT, name),
+            0,
+            {"params": bf16(vs["params"]),
+             "batch_stats": vs["batch_stats"]},
+            max_to_keep=1,
+        )
+    os.makedirs(os.path.dirname(REPORT), exist_ok=True)
+    rows = "\n".join(
+        f"| `{gt}` | `{pr}` | {'y' if gt == pr else 'n'} |"
+        for gt, pr in metrics["samples"]
+    )
+    with open(REPORT, "w") as f:
+        f.write(f"""# Trained-from-scratch demo report
+
+Synthetic-data training artifacts (no external data; the reference's
+pretrained weights are environment-blocked).  Generated by
+`scripts/train_demo.py` on {time.strftime('%Y-%m-%d')}.
+
+| metric | value |
+|---|---|
+| recognizer held-out word exact-match | **{metrics['word_acc']:.3f}** ({metrics['val_words']} words) |
+| e2e detection recall (IoU>=0.3) | **{metrics['det_recall']:.3f}** |
+| e2e word read accuracy | **{metrics['read_acc']:.3f}** ({metrics['total_words']} words) |
+
+The e2e rows run fresh synthetic receipts through the REAL serving
+chain (`pipeline.get_text_detailed`: CRAFT detect -> crop -> CRNN
+read) with the trained checkpoints
+(`save_models/demo_{{crnn,craft}}_bf16`).
+
+Sample held-out predictions:
+
+| ground truth | prediction | ok |
+|---|---|---|
+{rows}
+
+Repro: `python scripts/train_demo.py --stage all` (TPU, ~30 min).
+""")
+    print(f"export: wrote {REPORT} + bf16 checkpoints", flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", default="all",
+                   choices=["all", "data", "crnn", "craft", "eval"])
+    p.add_argument("--transform", default="None", choices=["None", "TPS"])
+    p.add_argument("--words", type=int, default=12000)
+    p.add_argument("--words-val", type=int, default=512)
+    p.add_argument("--receipts", type=int, default=400)
+    p.add_argument("--crnn-iters", type=int, default=3000)
+    p.add_argument("--craft-steps", type=int, default=600)
+    p.add_argument("--craft-batch", type=int, default=8)
+    p.add_argument("--eval-receipts", type=int, default=12)
+    args = p.parse_args(argv)
+
+    if args.stage in ("all", "data"):
+        stage_data(args)
+    if args.stage in ("all", "crnn"):
+        stage_crnn(args)
+    if args.stage in ("all", "craft"):
+        stage_craft(args)
+    if args.stage in ("all", "eval"):
+        metrics = stage_eval(args)
+        stage_export(args, metrics)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,6 +104,33 @@ class TestGenerator:
         labels = synthesize_words(path, n=10, charset="ab", max_len=3, seed=2)
         assert all(set(l) <= {"a", "b"} for l in labels)
 
+    def test_synthesize_receipt(self, tmp_path):
+        """Receipt composition: in-bounds annotated word boxes with dark
+        glyph ink, equal channels, and the LOR1 detection-record shape
+        (train_demo.py's CRAFT training data)."""
+        from lightly_ocr_tpu.data.generator import synthesize_receipt
+
+        rng = np.random.default_rng(3)
+        img, words = synthesize_receipt(rng, 256, 192)
+        assert img.shape == (256, 192, 3) and img.dtype == np.uint8
+        assert np.array_equal(img[..., 0], img[..., 1])
+        assert len(words) >= 4
+        for w in words:
+            r0, c0, r1, c1 = w["rect"]
+            assert 0 <= r0 < r1 <= 256 and 0 <= c0 < c1 <= 192
+            assert w["text"]
+            # glyph ink is darker than paper inside the box
+            assert img[r0:r1, c0:c1, 0].min() < 120
+
+        # roundtrips through the detection-record container
+        from lightly_ocr_tpu.train.pseudo_labels import (
+            write_detection_records,
+        )
+
+        path = str(tmp_path / "det.lor")
+        n = write_detection_records(path, [(img, words)])
+        assert n == 1
+
 
 class TestAlignCollate:
     def _samples(self, rng, sizes):
