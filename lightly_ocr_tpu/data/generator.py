@@ -95,8 +95,30 @@ def convert_lmdb(lmdb_root: str, out_path: str) -> int:
     return len(ds)
 
 
+# Receipt-domain vocabulary (charset-only: lowercase alnum) for
+# structured synthetic words — a character-bigram LM prior
+# (scripts/build_lm_prior.py) is uniform over uniformly-random strings,
+# so demonstrating the LM (and any realistic recognizer eval) needs
+# text with actual statistics.
+RECEIPT_VOCAB = (
+    "total subtotal cash change tax vat item items qty quantity price "
+    "amount receipt thank you store shop date time card visa debit "
+    "credit discount sale net gross due paid payment balance tender "
+    "refund void cashier register invoice order table guest server "
+    "coffee tea milk bread butter cheese sugar rice pasta water juice "
+    "apple banana orange lemon chicken beef pork fish egg salt pepper "
+    "oil flour soap paper towel batteries small medium large each per "
+    "kg lb pack box bottle can jar piece dozen no number ref code "
+    "terminal approved signature customer copy merchant account member "
+    "points earned redeemed savings coupon promo offer open close"
+).split()
+
+
 def render_word(
-    text: str, rng: np.random.Generator, height: int | None = None
+    text: str,
+    rng: np.random.Generator,
+    height: int | None = None,
+    noise: float = 0.0,
 ) -> bytes:
     """Render one word to grayscale PNG bytes (synthetic MJSynth stand-in).
 
@@ -104,7 +126,9 @@ def render_word(
     ~11 px regardless of canvas; characters must fill the crop or the
     32x100 recognizer input degenerates to specks).  ``height`` pins the
     crop height (used by :func:`synthesize_receipt` to place words on a
-    line grid); default: random 24-48."""
+    line grid); default: random 24-48.  ``noise`` adds gaussian pixel
+    noise (std in gray levels) plus a light blur above std 8 — the
+    degraded-eval knob for decoder comparisons."""
     from PIL import Image, ImageDraw, ImageFont
 
     h = int(rng.integers(24, 48)) if height is None else int(height)
@@ -118,9 +142,34 @@ def render_word(
     except TypeError:  # older Pillow without sized default font
         font = ImageFont.load_default()
     d.text((3, int(h * 0.12)), text, fill=fg, font=font)
+    if noise > 0:
+        from PIL import ImageFilter
+
+        if noise >= 8:
+            img = img.filter(ImageFilter.GaussianBlur(radius=0.8))
+        arr = np.asarray(img, np.float32)
+        arr = arr + rng.standard_normal(arr.shape) * noise
+        img = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
     buf = io.BytesIO()
     img.save(buf, format="PNG")
     return buf.getvalue()
+
+
+def sample_word(
+    rng: np.random.Generator,
+    charset: str = DEFAULT_CHARSET,
+    min_len: int = 1,
+    max_len: int = 10,
+    vocab: Sequence[str] | None = None,
+    vocab_frac: float = 0.0,
+) -> str:
+    """One synthetic label: with probability ``vocab_frac`` a vocabulary
+    word (default :data:`RECEIPT_VOCAB`), else a uniform charset string."""
+    if vocab_frac > 0 and rng.random() < vocab_frac:
+        words = RECEIPT_VOCAB if vocab is None else vocab
+        return words[int(rng.integers(0, len(words)))]
+    k = int(rng.integers(min_len, max_len + 1))
+    return "".join(rng.choice(list(charset), size=k))
 
 
 def synthesize_words(
@@ -130,16 +179,22 @@ def synthesize_words(
     min_len: int = 1,
     max_len: int = 10,
     seed: int = 4420,
+    vocab_frac: float = 0.0,
+    noise: float = 0.0,
 ) -> list[str]:
-    """Write n synthetic word records; returns the labels."""
+    """Write n synthetic word records; returns the labels.
+
+    ``vocab_frac`` mixes in receipt-vocabulary words (structured text
+    for LM/decoder evals); ``noise`` degrades the renders (see
+    :func:`render_word`)."""
     rng = np.random.default_rng(seed)
-    chars = list(charset)
     labels = []
     with RecordWriter(out_path) as w:
         for _ in range(n):
-            k = int(rng.integers(min_len, max_len + 1))
-            text = "".join(rng.choice(chars, size=k))
-            w.add(text, render_word(text, rng))
+            text = sample_word(
+                rng, charset, min_len, max_len, vocab_frac=vocab_frac
+            )
+            w.add(text, render_word(text, rng, noise=noise))
             labels.append(text)
     return labels
 
@@ -152,6 +207,7 @@ def synthesize_receipt(
     min_len: int = 2,
     max_len: int = 8,
     margin: int = 10,
+    vocab_frac: float = 0.5,
 ) -> tuple[np.ndarray, list[dict]]:
     """Compose one synthetic receipt from :func:`render_word` crops.
 
@@ -170,7 +226,6 @@ def synthesize_receipt(
     paper = np.clip(
         235 + rng.standard_normal((height, width)) * 4.0, 0, 255
     )
-    chars = list(charset)
     words: list[dict] = []
     r = margin
     while True:
@@ -179,8 +234,9 @@ def synthesize_receipt(
             break
         c = margin + int(rng.integers(0, 24))
         while True:
-            k = int(rng.integers(min_len, max_len + 1))
-            text = "".join(rng.choice(chars, size=k))
+            text = sample_word(
+                rng, charset, min_len, max_len, vocab_frac=vocab_frac
+            )
             crop = np.asarray(
                 Image.open(
                     io.BytesIO(render_word(text, rng, height=line_h))

@@ -81,11 +81,16 @@ def stage_data(args):
 
     os.makedirs(DATA, exist_ok=True)
     t0 = time.perf_counter()
+    # half receipt-vocabulary words, half random strings: structured
+    # text for the LM/decoder evals without overfitting to a closed
+    # vocabulary
     synthesize_words(
-        os.path.join(DATA, "words_train.lor"), n=args.words, seed=11
+        os.path.join(DATA, "words_train.lor"), n=args.words, seed=11,
+        vocab_frac=0.5,
     )
     synthesize_words(
-        os.path.join(DATA, "words_val.lor"), n=args.words_val, seed=13
+        os.path.join(DATA, "words_val.lor"), n=args.words_val, seed=13,
+        vocab_frac=0.5,
     )
     rng = np.random.default_rng(17)
     n = write_detection_records(
