@@ -178,6 +178,9 @@ def main(argv=None) -> int:
                    help="disable int8: bf16 backbone convs")
     p.add_argument("--granularity", type=int, default=None,
                    help="canvas bucket granularity override (default: config)")
+    p.add_argument("--magnify", type=float, default=None,
+                   help="magnification override (canvas-frontier A/B, "
+                        "scripts/check_canvas_frontier.py; default: config)")
     p.add_argument("--full", action="store_true",
                    help="also run the 64-concurrent config-5 measurement")
     p.add_argument("--stage-times", action="store_true",
@@ -222,7 +225,9 @@ def main(argv=None) -> int:
     cfg = Config(prediction=args.prediction, transform="TPS",
                  max_boxes=args.boxes, quant_int8=args.int8,
                  **({"bucket_granularity": args.granularity}
-                    if args.granularity else {}))
+                    if args.granularity else {}),
+                 **({"magnify_ratio": args.magnify}
+                    if args.magnify else {}))
     if args.depth is None:
         args.depth = cfg.serving_depth
 
