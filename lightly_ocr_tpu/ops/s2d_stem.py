@@ -71,10 +71,51 @@ def s2d_supported(h: int, w: int) -> bool:
 def _s2d(x: jax.Array) -> jax.Array:
     """[B, H, W, C] -> 0-aligned phase-packed [B, H/2, W/2, 4C] with
     channel blocks ordered (ph, pw, c): block ph*2+pw holds source
-    pixel (2J+ph, 2K+pw)."""
+    pixel (2J+ph, 2K+pw).  (Kept for tests/reference; the production
+    path never materializes this — conv1_1 reads the raw canvas with a
+    stride-2 window instead, see :func:`_s2d_kernel4`.)"""
     B, H, W, C = x.shape
     x = x.reshape(B, H // 2, 2, W // 2, 2, C)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _s2d_kernel4(k3: jax.Array, dtype) -> jax.Array:
+    """[3, 3, Cin, Cout] SAME-conv kernel -> the stride-2 4x4 kernel
+    [4, 4, Cin, 4Cout] that emits the (-1)-ALIGNED phase-packed output
+    directly from the UNPACKED input.
+
+    Device-trace lesson: materializing the phase-packed input cost a
+    4.3 ms transpose copy at the bench shape — but the packing is just
+    an indexing relabel, so it folds into conv1_1's own window: output
+    phase row ``r = 2I + ph - 1`` taps source rows ``q = r + u - 1``;
+    with window start ``2I - 2`` (pad 2) the window position is
+    ``t = q - (2I - 2) = ph + u``, so
+
+        K4[t, s, c, (ph*2+pw)*Co + co] = k3[t - ph, s - pw, c, co]
+
+    (zero outside 0..2).  One ``conv_general_dilated`` with
+    ``strides=(2,2), padding=((2,2),(2,2))`` then reads the raw
+    canvas and writes ``[B, H/2+1, W/2+1, 4Co]`` — identical MACs to
+    the packed 2x2 form, no packing copy anywhere."""
+    kp = jnp.pad(
+        jnp.asarray(k3, jnp.float32), ((1, 1), (1, 1), (0, 0), (0, 0))
+    )
+    rows = []
+    for t in range(4):
+        cols = []
+        for s in range(4):
+            blocks = []
+            for ph in (0, 1):
+                for pw in (0, 1):
+                    u = t - ph
+                    v = s - pw
+                    if 0 <= u <= 2 and 0 <= v <= 2:
+                        blocks.append(kp[u + 1, v + 1])
+                    else:
+                        blocks.append(jnp.zeros_like(kp[0, 0]))
+            cols.append(jnp.concatenate(blocks, axis=1))  # [Ci, 4Co]
+        rows.append(jnp.stack(cols, 0))
+    return jnp.stack(rows, 0).astype(dtype)  # [4, 4, Ci, 4Co]
 
 
 def _s2d_kernel(k3: jax.Array, dtype) -> jax.Array:
@@ -205,23 +246,42 @@ def s2d_conv12_pool(
     B, H, W, _ = x.shape
     k11, b11, k12, b12 = _stem_folded(variables)
     cdt = jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32
-    K11 = _s2d_kernel(k11, cdt)  # [2, 2, 12, 256]
+    K11 = _s2d_kernel4(k11, cdt)  # [4, 4, 3, 256] stride-2 direct form
     K12 = _s2d_kernel(k12, jnp.float32)  # f32 master (quant path scales)
     Hs, Ws = H // 2 + 1, W // 2 + 1
 
-    xs = _s2d(x)  # 0-aligned [B, H/2, W/2, 12]
-    # conv1_1: pad-1 2x2 -> (-1)-aligned [B, Hs, Ws, 256]
-    a = _conv2(xs, K11, ((1, 1), (1, 1)), cdt)
-    a = jnp.maximum(a + jnp.tile(b11, 4), 0.0)
-    # materialize conv1_2's SAME-pad ring as explicit zeros (per phase
-    # block: the relu(bias)-propagated ring values are NOT the pad)
-    a = jnp.where(_ring_mask(Hs, Ws, 64)[None], a, 0.0)
+    # conv1_1: stride-2 4x4 over the RAW canvas -> (-1)-aligned
+    # [B, Hs, Ws, 256] — the phase packing lives in the kernel's
+    # window, so no packed input tensor is ever materialized (the
+    # explicit _s2d transpose measured a 4.3 ms copy on device).
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, K11.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    a = jax.lax.conv_general_dilated(
+        x.astype(cdt),
+        K11,
+        window_strides=(2, 2),
+        padding=((2, 2), (2, 2)),
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    # bias + ReLU + pad-ring zeroing in ONE fused epilogue: the mask
+    # rides as a multiply (conv1_2's SAME-pad ring must be exact zeros,
+    # not relu(bias); a jnp.where on the f32 tensor blocked fusion and
+    # cost a layout copy on device)
+    mask = _ring_mask(Hs, Ws, 64)[None].astype(jnp.float32)
+    a = (jnp.maximum(a + jnp.tile(b11, 4), 0.0) * mask).astype(cdt)
     # conv1_2: VALID 2x2 -> 0-aligned [B, H/2, W/2, 256]
     if quant:
-        z = _conv2_q(a.astype(cdt), K12)
+        z = _conv2_q(a, K12)
     else:
-        z = _conv2(a.astype(cdt), K12.astype(cdt), "VALID", cdt)
+        z = _conv2(a, K12.astype(cdt), "VALID", cdt)
     z = jnp.maximum(z + jnp.tile(b12, 4), 0.0)
-    # pool1 == max over the four 0-aligned phase blocks
-    z = z.reshape(B, H // 2, W // 2, 4, 64).max(axis=3)
+    # pool1 == max over the four 0-aligned phase blocks — as channel
+    # SLICE maxes (the [..., 4, 64] reshape+reduce re-tiles the lane
+    # dim and cost a ~2 ms copy on device; slices keep the layout)
+    z = jnp.maximum(
+        jnp.maximum(z[..., 0:64], z[..., 64:128]),
+        jnp.maximum(z[..., 128:192], z[..., 192:256]),
+    )
     return z.astype(x.dtype)

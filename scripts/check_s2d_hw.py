@@ -75,6 +75,10 @@ def main():
         "s2d": jax.jit(lambda v, x: det_s2d(v, x, False)),
         "s2d-int8": jax.jit(lambda v, x: det_s2d(v, x, True)),
     }
+    only = os.environ.get("LIGHTLY_OCR_S2D_VARIANTS", "").strip()
+    if only:  # e.g. "tail,s2d" — re-measure a subset after an edit
+        variants = {k: v for k, v in variants.items()
+                    if k in only.split(",")}
     results, outs = {}, {}
     for name, fn in variants.items():
         results[name] = trace_stage(
@@ -82,9 +86,11 @@ def main():
         )
         outs[name] = fn(det_vars, canv)
 
+    if "tail" not in outs:
+        return
     ta, la = (np.asarray(a, np.float32) for a in outs["tail"])
     fga = (ta > 0.4) | (la > 0.4)
-    for name in ("s2d", "s2d-int8"):
+    for name in [k for k in outs if k != "tail"]:
         tb, lb = (np.asarray(a, np.float32) for a in outs[name])
         md = max(np.max(np.abs(ta - tb)), np.max(np.abs(la - lb)))
         fgb = (tb > 0.4) | (lb > 0.4)
