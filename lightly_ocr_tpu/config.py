@@ -136,13 +136,16 @@ class Config:
     beam_width: int = 8  # shared by ctc_decode/attn_decode = "beam"
     # --- serving graph plan (TPU; env vars override for A/B) --------
     # Fused detector stages, comma list of {"tail", "stem", "cpool",
-    # "cpool2"} or "none".  "tail" (default) = the Pallas packed-dot
-    # upconv4+cls-head kernel (device-trace win, BENCH.md); "cpool"/
-    # "cpool2" add the fused conv1_2+pool(+conv2_1) stem kernels;
+    # "cpool2", "s2d"} or "none".  "tail" (default) = the Pallas
+    # packed-dot upconv4+cls-head kernel (device-trace win, BENCH.md);
+    # "s2d" (default) = the space-to-depth stem (conv1_1+conv1_2+pool1
+    # as phase-packed dense convs, ops/s2d_stem.py — 70.5 -> 64.5 ms
+    # detector device trace, fg-mask flips 0); "cpool"/"cpool2" are
+    # the measured-rejected fused conv1_2+pool(+conv2_1) slab kernels;
     # "stem" = the older conv1_2-only kernel (A/B).  Resolved per
     # canvas by BatchedOCR._fused_kernel_plan (falls back off-TPU / at
     # unsupported shapes).  Env override: LIGHTLY_OCR_ENABLE_FUSED.
-    fused_stages: str = "tail"
+    fused_stages: str = "tail,s2d"
     # Fused-stage implementation: "pallas" (slab kernels, default) or
     # "rowpack" (row-packed XLA convs, A/B).  Env override:
     # LIGHTLY_OCR_FUSED_IMPL.
@@ -206,7 +209,7 @@ class Config:
             raise ValueError(
                 f"cpool_pool must be reshape|strided, got {self.cpool_pool!r}"
             )
-        known = {"tail", "stem", "cpool", "cpool2"}
+        known = {"tail", "stem", "cpool", "cpool2", "s2d"}
         stages = {
             t.strip()
             for t in self.fused_stages.split(",")

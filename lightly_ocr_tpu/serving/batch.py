@@ -57,6 +57,7 @@ class BatchedOCR:
         mesh: Any = None,
     ):
         self.cfg = cfg
+        self.dtype = dtype
         self.det_net = VGG_UNet(dtype=dtype, quant=cfg.quant_int8)
         self.det_trunk = VGG_UNetTrunk(dtype=dtype, quant=cfg.quant_int8)
         self.det_stem = VggStemPrefix(dtype=dtype, quant=cfg.quant_int8)
@@ -91,10 +92,15 @@ class BatchedOCR:
 
     def _fused_kernel_plan(
         self, h: int, w: int
-    ) -> "tuple[bool, bool, bool | str]":
-        """(use_stem, use_tail, use_cpool) for canvas ``(h, w)`` — TPU
-        only.  ``use_cpool`` is ``False`` or the fused-stem depth to
-        run: ``"pool"`` (conv1_2+pool) / ``"c21"`` (+conv2_1).
+    ) -> "tuple[bool, bool, bool | str, bool]":
+        """(use_stem, use_tail, use_cpool, use_s2d) for canvas
+        ``(h, w)`` — TPU only.  ``use_cpool`` is ``False`` or the
+        fused-stem depth to run: ``"pool"`` (conv1_2+pool) / ``"c21"``
+        (+conv2_1).  ``use_s2d`` = the space-to-depth stem
+        (``ops/s2d_stem.py``; replaces conv1_1+conv1_2+pool1, resumes
+        via the from_pool seam trunk — 70.5 -> 64.5 ms detector device
+        trace at b16 960x640, BENCH.md round 4; mutually exclusive
+        with stem/cpool, which replace the same convs).
 
         The Pallas TAIL is ON by default on TPU: with the packed
         single-dot kernel it beats the plain flax graph on device
@@ -148,6 +154,16 @@ class BatchedOCR:
                 use_cpool = "c21"
             elif "cpool" in enabled:
                 use_cpool = "pool"
+        from lightly_ocr_tpu.ops.s2d_stem import s2d_supported
+
+        use_s2d = (
+            use_tail
+            and not use_stem
+            and not use_cpool
+            and self._fused_impls()[2]  # seam (channels-second) tail
+            and s2d_supported(h, w)
+            and "s2d" in enabled
+        )
         # warn only on EXPLICIT requests that cannot be honored — the
         # default-on tail silently falls back off-TPU / at odd heights
         if explicit and "tail" in enabled and not use_tail:
@@ -182,7 +198,16 @@ class BatchedOCR:
                 "rowpack —, an even-split canvas, and no 'stem' in the "
                 "enable set) — running without it"
             )
-        return use_stem, use_tail, use_cpool
+        if explicit and "s2d" in enabled and not use_s2d:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "s2d stem requested but not active (requires the seam "
+                "Pallas tail — not rowpack —, an even canvas, and no "
+                "stem/cpool stage in the enable set) — running "
+                "without it"
+            )
+        return use_stem, use_tail, use_cpool, use_s2d
 
     def _fused_impls(self):
         """(stem_conv, tail_scores, tail_is_cs): the Pallas slab
@@ -243,7 +268,7 @@ class BatchedOCR:
             # the largest single op of the fused path).
             stem_conv, tail_scores, tail_is_cs = fused_impls()
 
-            use_stem, use_tail, use_cpool = plan_for(
+            use_stem, use_tail, use_cpool, use_s2d = plan_for(
                 canvases.shape[1], canvases.shape[2]
             )
             if use_tail:
@@ -293,6 +318,21 @@ class BatchedOCR:
                         x0 = det_stem.apply(det_vars, canvases)
                         s1c = stem_conv(det_vars, x0)
                         y_lo, t = det_trunk_fs_seam.apply(det_vars, s1c)
+                    elif use_s2d:
+                        from lightly_ocr_tpu.ops.s2d_stem import (
+                            s2d_conv12_pool,
+                        )
+
+                        # conv1_1+conv1_2+pool1 as phase-packed dense
+                        # convs (no full-res layout anywhere); resumes
+                        # at conv2_1 via the from_pool seam trunk.
+                        # Cast to the serving dtype FIRST — the flax
+                        # modules cast internally, but s2d picks its
+                        # compute dtype from the input's.
+                        p1 = s2d_conv12_pool(
+                            det_vars, canvases.astype(self.dtype)
+                        )
+                        y_lo, t = det_trunk_pool_seam.apply(det_vars, p1)
                     else:
                         y_lo, t = det_trunk_seam.apply(det_vars, canvases)
                     y = tail_scores(det_vars, y_lo, t)

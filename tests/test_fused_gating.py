@@ -26,28 +26,35 @@ def test_default_plan_tail_on_tpu_only(ocr, monkeypatch):
     import jax
 
     expected_tail = jax.default_backend() == "tpu"
-    assert ocr._fused_kernel_plan(960, 640) == (False, expected_tail, False)
+    assert ocr._fused_kernel_plan(960, 640) == (
+        False, expected_tail, False, expected_tail,
+    )  # s2d is default-on and rides the tail
 
 
 def test_explicit_none_disables_tail(ocr, monkeypatch):
     for v in ("none", "off", "", "0"):
         monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", v)
-        assert ocr._fused_kernel_plan(960, 640) == (False, False, False)
+        assert ocr._fused_kernel_plan(960, 640) == (
+            False, False, False, False,
+        )
 
 
 def test_stem_requires_tail(ocr, monkeypatch):
     monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", "stem")
-    use_stem, use_tail, use_cpool = ocr._fused_kernel_plan(960, 640)
+    use_stem, use_tail, use_cpool, use_s2d = ocr._fused_kernel_plan(
+        960, 640
+    )
     assert use_stem is False  # silently-on would measure the baseline
     assert use_tail is False
     assert use_cpool is False
+    assert use_s2d is False
 
 
 def test_cpool_requires_tail(ocr, monkeypatch):
     """cpool rides the seam tail path: alone it must resolve off (and
     off-TPU everything is off regardless)."""
     monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", "cpool")
-    assert ocr._fused_kernel_plan(960, 640) == (False, False, False)
+    assert ocr._fused_kernel_plan(960, 640) == (False, False, False, False)
 
 
 def test_fused_impl_default_is_pallas(ocr, monkeypatch):
@@ -83,7 +90,7 @@ def test_cfg_fused_stages_none(monkeypatch):
     """Config.fused_stages="none" disables the tail without any env."""
     monkeypatch.delenv("LIGHTLY_OCR_ENABLE_FUSED", raising=False)
     o = _ocr_with(fused_stages="none")
-    assert o._fused_kernel_plan(960, 640) == (False, False, False)
+    assert o._fused_kernel_plan(960, 640) == (False, False, False, False)
 
 
 def test_cfg_fused_stages_cpool2(monkeypatch):
@@ -92,18 +99,19 @@ def test_cfg_fused_stages_cpool2(monkeypatch):
     import jax
 
     o = _ocr_with(fused_stages="tail,cpool2")
-    use_stem, use_tail, use_cpool = o._fused_kernel_plan(960, 640)
+    plan = o._fused_kernel_plan(960, 640)
     if jax.default_backend() == "tpu":
-        assert (use_stem, use_tail, use_cpool) == (False, True, "c21")
+        # cpool2 wins over the (absent) s2d token; they are exclusive
+        assert plan == (False, True, "c21", False)
     else:
-        assert (use_stem, use_tail, use_cpool) == (False, False, False)
+        assert plan == (False, False, False, False)
 
 
 def test_env_overrides_cfg(monkeypatch):
     """LIGHTLY_OCR_ENABLE_FUSED beats Config.fused_stages."""
     monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", "none")
     o = _ocr_with(fused_stages="tail,cpool2")
-    assert o._fused_kernel_plan(960, 640) == (False, False, False)
+    assert o._fused_kernel_plan(960, 640) == (False, False, False, False)
 
 
 def test_cfg_fused_impl_rowpack(monkeypatch):
@@ -133,3 +141,36 @@ def test_cfg_validation():
         "tail",
         "cpool2",
     }
+
+
+def test_cfg_s2d_requires_tail_and_exclusivity(monkeypatch):
+    """s2d rides the seam tail (channels-second impl) and is mutually
+    exclusive with the cpool stem kernels (both replace conv1_2)."""
+    monkeypatch.delenv("LIGHTLY_OCR_ENABLE_FUSED", raising=False)
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    # default config: tail,s2d
+    o = _ocr_with()
+    plan = o._fused_kernel_plan(960, 640)
+    assert plan == ((False, True, False, True) if on_tpu
+                    else (False, False, False, False))
+    # s2d alone (no tail) resolves off — silently-on would measure the
+    # baseline
+    monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", "s2d")
+    assert o._fused_kernel_plan(960, 640) == (False, False, False, False)
+    # cpool2 + s2d both requested: cpool2 wins, s2d off
+    monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", "tail,cpool2,s2d")
+    plan = o._fused_kernel_plan(960, 640)
+    if on_tpu:
+        assert plan == (False, True, "c21", False)
+    # rowpack impl has no channels-second seam tail: s2d must gate off
+    monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", "tail,s2d")
+    monkeypatch.setenv("LIGHTLY_OCR_FUSED_IMPL", "rowpack")
+    assert o._fused_kernel_plan(960, 640)[3] is False
+
+
+def test_s2d_odd_canvas_gates_off(monkeypatch):
+    monkeypatch.setenv("LIGHTLY_OCR_ENABLE_FUSED", "tail,s2d")
+    o = _ocr_with()
+    assert o._fused_kernel_plan(961, 640)[3] is False

@@ -115,3 +115,28 @@ def test_s2d_supported_gate():
     assert s2d_supported(960, 640)
     assert not s2d_supported(961, 640)
     assert not s2d_supported(960, 641)
+
+
+@pytest.mark.slow
+def test_s2d_from_pool_trunk_matches_plain():
+    """Serving composition: s2d stem -> from_pool seam trunk must
+    match the plain seam trunk (the exact graph substitution
+    BatchedOCR makes when the s2d stage is planned)."""
+    from lightly_ocr_tpu.models.vgg_unet import VGG_UNetTrunk
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 96, 64, 3)), jnp.float32)
+    v = VGG_UNet().init(jax.random.PRNGKey(11), x)
+    dt = jnp.bfloat16
+
+    y_ref, t_ref = VGG_UNetTrunk(dtype=dt, seam=True).apply(
+        v, x.astype(dt)
+    )
+    p1 = s2d_conv12_pool(v, x.astype(dt))
+    y_got, t_got = VGG_UNetTrunk(
+        dtype=dt, seam=True, from_pool=True
+    ).apply(v, p1)
+    for a, b in ((y_got, y_ref), (t_got, t_ref)):
+        d = np.max(np.abs(np.asarray(a, np.float32) -
+                          np.asarray(b, np.float32)))
+        assert d < 0.25, d  # bf16 drift through the 12-conv trunk

@@ -69,13 +69,17 @@ def test_fused_and_plain_serving_agree(monkeypatch):
     imgs[1, 60:80, 20:70] = 35
 
     ocr_plain = _build(monkeypatch, "none")
-    assert ocr_plain._fused_kernel_plan(192, 128) == (False, False, False)
+    assert ocr_plain._fused_kernel_plan(192, 128) == (
+        False, False, False, False,
+    )
     out_plain = ocr_plain.run_images(list(imgs))
 
     ocr_fused = _build(monkeypatch, "tail")
     # the plan must actually resolve the tail ON for this test to gate
     # anything — guard against silent fallbacks
-    assert ocr_fused._fused_kernel_plan(192, 128) == (False, True, False)
+    assert ocr_fused._fused_kernel_plan(192, 128) == (
+        False, True, False, False,
+    )
     out_fused = ocr_fused.run_images(list(imgs))
 
     assert len(out_plain) == len(out_fused) == 2
@@ -87,3 +91,28 @@ def test_fused_and_plain_serving_agree(monkeypatch):
                 p["confidence"], f["confidence"], rtol=1e-2, atol=1e-3
             )
             np.testing.assert_allclose(p["rect"], f["rect"], atol=1.0)
+
+
+def test_s2d_serving_agrees(monkeypatch):
+    """The default serving plan (tail + s2d stem) reads the same text
+    as the unfused graph on hardware (fg-mask identity at the bench
+    shape is gated by scripts/check_s2d_hw.py; this gates the full
+    serving chain end-to-end at a small shape)."""
+    rng = np.random.default_rng(13)
+    imgs = (rng.uniform(0.6, 1.0, (2, 120, 80, 3)) * 255).astype(np.uint8)
+    imgs[0, 30:50, 10:60] = 20
+    imgs[1, 60:80, 20:70] = 35
+
+    ocr_plain = _build(monkeypatch, "none")
+    out_plain = ocr_plain.run_images(list(imgs))
+
+    ocr_s2d = _build(monkeypatch, "tail,s2d")
+    plan = ocr_s2d._fused_kernel_plan(192, 128)
+    assert plan[1] is True and plan[3] is True
+    out_s2d = ocr_s2d.run_images(list(imgs))
+
+    assert len(out_plain) == len(out_s2d) == 2
+    for items_p, items_f in zip(out_plain, out_s2d):
+        assert len(items_p) == len(items_f)
+        for p, f in zip(items_p, items_f):
+            assert p["text"] == f["text"]
