@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from lightly_ocr_tpu.models.layers import torch_rnn_init
 from lightly_ocr_tpu.models.lstm import lstm_cell_step
 
 Dtype = Any
@@ -36,7 +37,7 @@ class LSTMCellParams(nn.Module):
 
     def setup(self):
         H4 = 4 * self.hidden
-        init = nn.initializers.uniform(scale=2.0 / jnp.sqrt(self.hidden))
+        init = torch_rnn_init(self.hidden)
         self.weight_ih = self.param("weight_ih", init, (H4, self.in_dim))
         self.weight_hh = self.param("weight_hh", init, (H4, self.hidden))
         self.bias_ih = self.param("bias_ih", init, (H4,))

@@ -217,3 +217,25 @@ def batch_norm(train: bool, name: str, dtype: Dtype = jnp.float32) -> nn.BatchNo
 def adaptive_avg_pool_1(x: jax.Array) -> jax.Array:
     """AdaptiveAvgPool2d(1) over NHWC -> [B, C] (global mean)."""
     return jnp.mean(x, axis=(1, 2))
+
+
+def torch_rnn_init(hidden: int):
+    """torch ``nn.LSTM``/``nn.LSTMCell`` reset_parameters: every weight
+    and bias ~ U(-1/sqrt(H), +1/sqrt(H)).
+
+    NOT ``nn.initializers.uniform(scale)``: flax's uniform samples from
+    **[0, scale)** — one-sided.  All-positive recurrent weights/biases
+    fed by positive-mean (post-ReLU) CNN features drive every gate hard
+    positive, the cell state accumulates monotonically, and the hidden
+    output saturates at tanh ~= +0.93 for every input — the whole
+    recognizer then trains to a constant (CTC blank collapse at loss ~=
+    log(num_class)).  Found by the round-4 train-from-scratch demo;
+    torch-import parity never sees self-init so the parity suite could
+    not catch it.
+    """
+    k = 1.0 / float(hidden) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -k, k)
+
+    return init

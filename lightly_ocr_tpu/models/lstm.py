@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from lightly_ocr_tpu.models.layers import torch_rnn_init
+
 Dtype = Any
 
 
@@ -83,7 +85,7 @@ class LSTM(nn.Module):
         def p(name, shape):
             return self.param(
                 name,
-                nn.initializers.uniform(scale=2.0 / jnp.sqrt(self.hidden)),
+                torch_rnn_init(self.hidden),
                 shape,
                 jnp.float32,
             ).astype(self.dtype)

@@ -293,3 +293,58 @@ def test_grad_accum_matches_plain_step(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
         )
+
+
+class TestSelfInitHealth:
+    """Round-4 regression: flax ``nn.initializers.uniform`` is [0, scale)
+    — one-sided.  The LSTM/LSTMCell self-init must be torch's symmetric
+    U(-1/sqrt(H), +1/sqrt(H)) (``nn.LSTM.reset_parameters``) or the cell
+    state, fed positive-mean post-ReLU CNN features through all-positive
+    weights, saturates and the whole recognizer becomes input-independent
+    (CTC blank collapse at loss ~= log(num_class)).  Torch-import parity
+    never exercises self-init, so only these tests cover it."""
+
+    def test_lstm_self_init_is_symmetric(self):
+        from lightly_ocr_tpu.models import BidirectionalLSTM
+
+        model = BidirectionalLSTM(32, 32)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((2, 8, 64), jnp.float32)
+        )
+        k = 1.0 / np.sqrt(32)
+        for name, p in variables["params"]["rnn"].items():
+            a = np.asarray(p)
+            assert a.min() < -0.2 * k, f"{name}: no negative mass"
+            assert a.max() > 0.2 * k, f"{name}: no positive mass"
+            assert abs(a.mean()) < 0.2 * k, f"{name}: mean {a.mean():.4f}"
+            assert np.abs(a).max() <= k + 1e-7, f"{name}: exceeds 1/sqrt(H)"
+
+    def test_attention_cell_self_init_is_symmetric(self):
+        from lightly_ocr_tpu.models.attention import LSTMCellParams
+
+        cell = LSTMCellParams(in_dim=16, hidden=32)
+        variables = cell.init(
+            jax.random.key(0),
+            jnp.zeros((2, 16)), jnp.zeros((2, 32)), jnp.zeros((2, 32)),
+        )
+        for name, p in variables["params"].items():
+            a = np.asarray(p)
+            assert a.min() < 0 < a.max(), f"{name}: one-sided init"
+
+    def test_self_init_output_depends_on_input(self, rng):
+        """Positive-mean inputs (like post-ReLU features) must NOT
+        saturate the self-initialized BiLSTM into a constant."""
+        from lightly_ocr_tpu.models import BidirectionalLSTM
+
+        model = BidirectionalLSTM(32, 32)
+        x = jnp.asarray(
+            np.abs(rng.standard_normal((8, 26, 64))).astype(np.float32)
+        )  # positive-mean, post-ReLU-like
+        variables = model.init(jax.random.key(0), x)
+        y = np.asarray(model.apply(variables, x))
+        cross = y.mean(axis=(1, 2)).std()  # spread of per-sample means
+        total = y.std()
+        assert cross > 0.01 * total, (
+            f"self-initialized BiLSTM is input-independent "
+            f"(cross-sample std {cross:.2e} vs total {total:.2e})"
+        )
