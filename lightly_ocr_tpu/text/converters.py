@@ -170,13 +170,20 @@ class AttnLabelConverter:
         ]
 
     def decode_trimmed(self, batch_indices) -> list[str]:
-        """Decode and truncate at the first EOS token (convenience)."""
+        """Decode and truncate at the first EOS token (convenience).
+
+        ``[GO]`` (index 0) is a control token, never part of a
+        transcript — skip it rather than render it literally (an
+        untrained/degenerate decoder can emit it; the parity-mirror
+        ``decode`` above keeps the reference's literal rendering)."""
         out = []
         for row in np.asarray(batch_indices):
             chars = []
             for i in row:
                 if int(i) == self.eos_index:
                     break
+                if int(i) == 0:  # [GO]
+                    continue
                 chars.append(self.character[int(i)])
             out.append("".join(chars))
         return out
