@@ -258,6 +258,54 @@ def synthesize_receipt(
     return np.stack([g, g, g], axis=-1), words
 
 
+def synthesize_receipt_crops(
+    out_path: str,
+    n: int = 4096,
+    height: int = 320,
+    width: int = 256,
+    charset: str = DEFAULT_CHARSET,
+    seed: int = 4420,
+    vocab_frac: float = 0.5,
+) -> list[str]:
+    """Write ``n`` word records CROPPED from composed receipts — the
+    serving distribution, not the clean-render one.
+
+    :func:`synthesize_words` renders tight, clean word images; the
+    pipeline's recognizer instead sees detector crops: paper noise
+    around the glyphs, loose margins from box dilation, and line-grid
+    scale.  A recognizer trained only on clean renders drops from ~94%
+    held-out to ~17% through the real detect->crop->read chain (round-4
+    demo measurement) — so the demo trains on a mix.  Margins are
+    jittered up to ~1/3 word height vertically / ~1/2 horizontally,
+    matching the watershed box dilation in ``ops/detection.py``."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    labels: list[str] = []
+    with RecordWriter(out_path) as w:
+        while len(labels) < n:
+            image, words = synthesize_receipt(
+                rng, height, width, charset=charset, vocab_frac=vocab_frac
+            )
+            gray = image[:, :, 0]
+            for wd in words:
+                if len(labels) >= n:
+                    break
+                r0, c0, r1, c1 = wd["rect"]
+                wh = r1 - r0
+                mr = int(rng.integers(0, max(2, wh // 3)))
+                mc = int(rng.integers(0, max(2, wh // 2)))
+                crop = gray[
+                    max(0, r0 - mr) : min(height, r1 + mr),
+                    max(0, c0 - mc) : min(width, c1 + mc),
+                ]
+                buf = io.BytesIO()
+                Image.fromarray(crop).save(buf, format="PNG")
+                w.add(wd["text"], buf.getvalue())
+                labels.append(wd["text"])
+    return labels
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     import argparse
 

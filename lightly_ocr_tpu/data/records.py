@@ -137,10 +137,44 @@ class RecordDataset:
         self._file.close()
 
 
+class ConcatDataset:
+    """Concatenation of record datasets — the multi-corpus training the
+    reference does with ``select_data``/``Batch_Balanced_Dataset``
+    (``ocr/recog/dataset.py``), minus the per-corpus batch ratios (the
+    shuffler samples uniformly over the concatenation)."""
+
+    def __init__(self, parts):
+        if not parts:
+            raise ValueError("ConcatDataset needs at least one part")
+        self.parts = list(parts)
+        sizes = [len(p) for p in self.parts]
+        self._cum = np.cumsum(sizes)
+
+    def __len__(self) -> int:
+        return int(self._cum[-1])
+
+    def __getitem__(self, i: int):
+        i = int(i)
+        if i < 0:
+            i += len(self)
+        part = int(np.searchsorted(self._cum, i, side="right"))
+        prev = 0 if part == 0 else int(self._cum[part - 1])
+        return self.parts[part][i - prev]
+
+    def close(self) -> None:
+        for p in self.parts:
+            p.close()
+
+
 def open_dataset(root: str, **kwargs):
     """Open a dataset root: a ``.lor`` record file, a directory containing
-    ``data.lor``, or — if the lmdb package happens to be installed — a
-    reference LMDB directory."""
+    ``data.lor``, a comma-separated list of roots (concatenated), or — if
+    the lmdb package happens to be installed — a reference LMDB
+    directory."""
+    if "," in root:
+        return ConcatDataset(
+            [open_dataset(r.strip(), **kwargs) for r in root.split(",")]
+        )
     if os.path.isfile(root):
         return RecordDataset(root, **kwargs)
     lor = os.path.join(root, "data.lor")

@@ -61,7 +61,8 @@ def _demo_cfg(prediction="CTC", transform="None"):
         batch_size=64,
         workers=0,
         keep_ratio=False,
-        train_root=os.path.join(DATA, "words_train.lor"),
+        train_root=(os.path.join(DATA, "words_train.lor") + ","
+                    + os.path.join(DATA, "crops_train.lor")),
         val_root=os.path.join(DATA, "words_val.lor"),
         log_dir=os.path.join(REPO, "logs_demo"),
         # e2e serving on the demo receipts: content at native scale,
@@ -75,6 +76,7 @@ def _demo_cfg(prediction="CTC", transform="None"):
 def stage_data(args):
     from lightly_ocr_tpu.data.generator import (
         synthesize_receipt,
+        synthesize_receipt_crops,
         synthesize_words,
     )
     from lightly_ocr_tpu.train.pseudo_labels import write_detection_records
@@ -87,6 +89,13 @@ def stage_data(args):
     synthesize_words(
         os.path.join(DATA, "words_train.lor"), n=args.words, seed=11,
         vocab_frac=0.5,
+    )
+    # serving-distribution crops: detector-style loose boxes over paper
+    # noise — without these the recognizer reads clean renders at ~94%
+    # but detector crops at ~17% (round-4 measurement)
+    synthesize_receipt_crops(
+        os.path.join(DATA, "crops_train.lor"), n=args.crops, seed=19,
+        height=RH, width=RW,
     )
     synthesize_words(
         os.path.join(DATA, "words_val.lor"), n=args.words_val, seed=13,
@@ -164,11 +173,22 @@ def _load_engines(transform):
         load_variables_for_inference,
     )
 
+    from lightly_ocr_tpu.utils.checkpoint import restore_checkpoint
+
     cfg = _demo_cfg(transform=transform)
     _, tmpl = init_train_state(cfg, jax.random.key(0))
     rec_vars = load_variables_for_inference(CRNN_DIR, tmpl)
+    # train_craft checkpoints a plain {params, batch_stats, opt_state}
+    # dict (craft.py:311-318) — no `step` leaf, so restore with the
+    # matching structure rather than the full CraftTrainState template
     _, dtmpl = init_craft_state(jax.random.key(0), image_hw=(RH, RW))
-    det_vars = load_variables_for_inference(CRAFT_DIR, dtmpl)
+    dstate, _ = restore_checkpoint(
+        CRAFT_DIR,
+        {"params": dtmpl.params, "batch_stats": dtmpl.batch_stats,
+         "opt_state": dtmpl.opt_state},
+    )
+    det_vars = {"params": dstate["params"],
+                "batch_stats": dstate["batch_stats"]}
     det = CRAFT(cfg, variables=det_vars)
     rec = CRNN(cfg, variables=rec_vars)
     return cfg, det, rec
@@ -304,6 +324,7 @@ def main(argv=None):
                    choices=["all", "data", "crnn", "craft", "eval"])
     p.add_argument("--transform", default="None", choices=["None", "TPS"])
     p.add_argument("--words", type=int, default=12000)
+    p.add_argument("--crops", type=int, default=8000)
     p.add_argument("--words-val", type=int, default=512)
     p.add_argument("--receipts", type=int, default=400)
     p.add_argument("--crnn-iters", type=int, default=3000)

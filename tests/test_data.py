@@ -192,3 +192,55 @@ class TestDataLoader:
         for idx in s:
             assert len(idx) == 5
             assert (np.diff(idx) == 1).all()
+
+
+class TestConcatDataset:
+    """Comma-separated roots -> concatenation (the reference's
+    multi-corpus ``select_data`` training, minus batch ratios)."""
+
+    def test_concat_roundtrip(self, tmp_path):
+        a = str(tmp_path / "a.lor")
+        b = str(tmp_path / "b.lor")
+        la = synthesize_words(a, n=5, max_len=4, seed=2)
+        lb = synthesize_words(b, n=7, max_len=4, seed=3)
+        ds = open_dataset(f"{a},{b}", filtering=False)
+        assert len(ds) == 12
+        got = [ds[i][1] for i in range(12)]
+        assert got == la + lb
+        # negative indexing routes to the right part
+        assert ds[-1][1] == lb[-1]
+        ds.close()
+
+    def test_concat_filtering_applies_per_part(self, tmp_path):
+        a = str(tmp_path / "a.lor")
+        b = str(tmp_path / "b.lor")
+        synthesize_words(a, n=6, charset="ab", max_len=3, seed=4)
+        synthesize_words(b, n=6, charset="cd", max_len=3, seed=5)
+        ds = open_dataset(f"{a},{b}", character="ab", batch_max_len=8)
+        assert 0 < len(ds) <= 6  # the cd-part filters out entirely
+        ds.close()
+
+
+class TestReceiptCrops:
+    def test_crops_match_serving_distribution(self, tmp_path):
+        from lightly_ocr_tpu.data.generator import synthesize_receipt_crops
+
+        path = str(tmp_path / "crops.lor")
+        labels = synthesize_receipt_crops(
+            path, n=40, height=160, width=192, seed=6
+        )
+        assert len(labels) == 40
+        ds = open_dataset(path, filtering=False)
+        assert len(ds) == 40
+        hs = []
+        for i in range(40):
+            img, lab = ds[i]
+            a = np.asarray(img)
+            assert lab == labels[i]
+            # paper-noise background (not pure white), glyphs present
+            assert a.min() < 120 and a.max() > 200
+            hs.append(a.shape[0])
+        # jittered margins -> varying crop heights (line_h 20-34 + up to
+        # ~2*wh/3 total vertical margin)
+        assert len(set(hs)) > 3
+        ds.close()
