@@ -272,12 +272,15 @@ def synthesize_receipt_crops(
 
     :func:`synthesize_words` renders tight, clean word images; the
     pipeline's recognizer instead sees detector crops: paper noise
-    around the glyphs, loose margins from box dilation, and line-grid
-    scale.  A recognizer trained only on clean renders drops from ~94%
-    held-out to ~17% through the real detect->crop->read chain (round-4
-    demo measurement) — so the demo trains on a mix.  Margins are
-    jittered up to ~1/3 word height vertically / ~1/2 horizontally,
-    matching the watershed box dilation in ``ops/detection.py``."""
+    around the glyphs, box-boundary error in BOTH directions (the
+    watershed cores run 2-4 px TIGHTER than the glyph extents, clipping
+    ascenders/descenders; dilation can also add loose margins), and
+    line-grid scale.  A recognizer trained only on clean renders drops
+    from ~94% held-out to ~17% through the real detect->crop->read
+    chain; margin-only (non-negative) jitter recovers just ~24%
+    (round-4 demo measurements) — so margins are jittered from -3 px
+    (shaving into the glyphs, the tight-box case) up to ~1/3 word
+    height vertically / ~1/2 horizontally."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -293,12 +296,17 @@ def synthesize_receipt_crops(
                     break
                 r0, c0, r1, c1 = wd["rect"]
                 wh = r1 - r0
-                mr = int(rng.integers(0, max(2, wh // 3)))
-                mc = int(rng.integers(0, max(2, wh // 2)))
-                crop = gray[
-                    max(0, r0 - mr) : min(height, r1 + mr),
-                    max(0, c0 - mc) : min(width, c1 + mc),
-                ]
+                # independent per-edge jitter, negative = shave into
+                # the glyphs like a tight watershed box
+                e = [int(rng.integers(-3, max(4, wh // 3)))
+                     for _ in range(2)]
+                f = [int(rng.integers(-3, max(4, wh // 2)))
+                     for _ in range(2)]
+                rr0 = max(0, min(r0 - e[0], r1 - 8))
+                rr1 = min(height, max(r1 + e[1], rr0 + 8))
+                cc0 = max(0, min(c0 - f[0], c1 - 8))
+                cc1 = min(width, max(c1 + f[1], cc0 + 8))
+                crop = gray[rr0:rr1, cc0:cc1]
                 buf = io.BytesIO()
                 Image.fromarray(crop).save(buf, format="PNG")
                 w.add(wd["text"], buf.getvalue())

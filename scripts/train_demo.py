@@ -298,7 +298,7 @@ pretrained weights are environment-blocked).  Generated by
 
 | metric | value |
 |---|---|
-| recognizer held-out word exact-match | **{metrics['word_acc']:.3f}** ({metrics['val_words']} words) |
+| recognizer held-out word exact-match | **{metrics['word_acc'] / 100:.3f}** ({metrics['val_words']} words) |
 | e2e detection recall (IoU>=0.3) | **{metrics['det_recall']:.3f}** |
 | e2e word read accuracy | **{metrics['read_acc']:.3f}** ({metrics['total_words']} words) |
 
