@@ -104,8 +104,12 @@ def main(argv=None):
             r += c.shape[0] + gap
         rects = np.asarray(rects, np.float32)
         accs = []
+        chunk = 128  # stay under the engine's _BOX_BUCKETS cap (256)
         for name, eng in engines.items():
-            texts, _ = eng.process_batch(canvas, rects)
+            texts = []
+            for s in range(0, len(rects), chunk):
+                t, _ = eng.process_batch(canvas, rects[s : s + chunk])
+                texts.extend(t)
             accs.append(
                 sum(t == lab for t, lab in zip(texts, labels)) / args.n
             )
