@@ -45,7 +45,7 @@ from lightly_ocr_tpu.utils.torch_import import (
     load_torch_checkpoint,
 )
 
-_BOX_BUCKETS = (32, 64, 128, 256)
+_BOX_BUCKETS = (8, 16, 32, 64, 128, 256)
 
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
