@@ -109,8 +109,14 @@ def test_dp_train_step_matches_single_device(rng):
     np.testing.assert_allclose(
         float(m_single["loss"]), float(m_dp["loss"]), rtol=1e-5
     )
+    # grad_norm is a global L2 over the whole grad tree; the sharded
+    # program reduces it via psum over 8 partial sums while the single-
+    # device program reduces sequentially — f32 reassociation over ~1e6
+    # squares lands ~2e-4 rel apart now that real gradients flow through
+    # the LSTM (pre-round-4 the saturated-constant LSTM zeroed most of
+    # the tree and this held at 1e-4).
     np.testing.assert_allclose(
-        float(m_single["grad_norm"]), float(m_dp["grad_norm"]), rtol=1e-4
+        float(m_single["grad_norm"]), float(m_dp["grad_norm"]), rtol=1e-3
     )
     # batch_stats must reflect the GLOBAL batch mean, not a shard's
     single_state, _ = step(state0, batch)

@@ -258,7 +258,12 @@ def test_train_remat_identical_grads(rng, prediction):
 
     l0, g0 = grads_for(cfg)
     l1, g1 = grads_for(cfg.replace(train_remat=True))
-    assert l0 == l1
+    # NOT l0 == l1: remat puts the loss reduction in a differently-fused
+    # program, and XLA reassociates reductions per program — an ulp-level
+    # (~1e-7 rel) loss delta.  (This assertion held bit-exact before the
+    # round-4 symmetric LSTM init only because the saturated-constant
+    # LSTM zeroed most of the gradient tree.)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
     flat0 = jax.tree_util.tree_leaves(g0)
     flat1 = jax.tree_util.tree_leaves(g1)
     for a, b in zip(flat0, flat1):
