@@ -110,12 +110,16 @@ def _steady_state(ocr, canvases, gray, inv_ratio, batch, dispatches, depth):
     """Pipelined run: keep ``depth`` dispatches in flight, decode every
     finished result on the host inside the timed window.
 
-    Returns (receipts_per_s, p50_latency_s, results_sample).
+    Returns (receipts_per_s, p50_latency_s, p95, sample, completions)
+    where ``completions`` are the per-dispatch completion timestamps
+    relative to the window start — the sub-window rates below are
+    computed from them.
     """
     import jax
 
     pending = deque()
     latencies = []
+    completions = []
     sample = None
     t0 = time.perf_counter()
     for i in range(dispatches):
@@ -126,17 +130,107 @@ def _steady_state(ocr, canvases, gray, inv_ratio, batch, dispatches, depth):
             ts, o = pending.popleft()
             jax.block_until_ready(o["confidence"])
             sample = ocr.decode(o)  # host decode counted
-            latencies.append(time.perf_counter() - ts)
+            now = time.perf_counter()
+            latencies.append(now - ts)
+            completions.append(now - t0)
     while pending:
         ts, o = pending.popleft()
         jax.block_until_ready(o["confidence"])
         sample = ocr.decode(o)
-        latencies.append(time.perf_counter() - ts)
+        now = time.perf_counter()
+        latencies.append(now - ts)
+        completions.append(now - t0)
     total = time.perf_counter() - t0
     rps = batch * dispatches / total
     p50 = float(np.median(latencies))
     p95 = float(np.percentile(latencies, 95))
-    return rps, p50, p95, sample
+    return rps, p50, p95, sample, completions
+
+
+def _subwindow_rates(completions, batch, k=3):
+    """Split the steady-state window into ``k`` contiguous sub-windows
+    (by dispatch-completion order) and return each sub-window's
+    receipts/s.  The median of these damps transient host/tunnel-band
+    weather that a single total-window number absorbs wholesale
+    (VERDICT r4 #1b); the first sub-window includes pipeline fill, so
+    with 96 dispatches at depth 4 the fill skews it by <5%."""
+    n = len(completions)
+    if n < 2 * k:
+        return []
+    rates, prev = [], 0.0
+    for i in range(k):
+        chunk = completions[(i * n) // k:((i + 1) * n) // k]
+        rates.append(len(chunk) * batch / (chunk[-1] - prev))
+        prev = chunk[-1]
+    return rates
+
+
+def _device_ms_from_trace(trace_dir):
+    """Total device-side duration (ms) of jit executable runs in the
+    newest ``*.trace.json.gz`` under ``trace_dir`` (same parser as
+    scripts/profile_trace.py), or None."""
+    import glob
+    import gzip
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return None
+    with gzip.open(sorted(files)[-1]) as f:
+        tr = json.load(f)
+    jit_total = 0.0
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e["name"]
+        if name.startswith("jit_") and "(" in name:
+            jit_total += e["dur"] / 1e3
+    return jit_total or None
+
+
+def _diagnostics(ocr, canvases, gray, inv_ratio, batch):
+    """Post-measurement attribution block (stderr only) so a driver-run
+    tail names WHERE a slow number came from: 6 serial (depth-1)
+    dispatch walls isolate per-dispatch host+RPC+device cost from
+    pipelining, and one jax.profiler-traced dispatch splits that into
+    device execution vs host/tunnel band (VERDICT r4 #1a)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    walls = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        out = ocr(canvases, gray, inv_ratio)
+        jax.block_until_ready(out["confidence"])
+        ocr.decode(out)
+        walls.append(time.perf_counter() - t0)
+    w50 = float(np.median(walls))
+    print(
+        "diag serial (depth-1) dispatch wall: p50 "
+        f"{w50*1e3:.1f} ms over 6 "
+        f"[{', '.join(f'{w*1e3:.0f}' for w in walls)}]",
+        file=sys.stderr, flush=True,
+    )
+    tdir = tempfile.mkdtemp(prefix="benchtrace_")
+    try:
+        with jax.profiler.trace(tdir):
+            out = ocr(canvases, gray, inv_ratio)
+            jax.block_until_ready(out["confidence"])
+        dev_ms = _device_ms_from_trace(tdir)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    if dev_ms:
+        print(
+            f"diag device execution: {dev_ms:.1f} ms/dispatch "
+            f"(device-bound ceiling {batch/dev_ms*1e3:.1f} r/s); "
+            f"host+RPC band = serial wall {w50*1e3:.1f} - device "
+            f"{dev_ms:.1f} = {w50*1e3-dev_ms:.1f} ms",
+            file=sys.stderr, flush=True,
+        )
+    else:
+        print("diag device execution: no jit events in trace",
+              file=sys.stderr, flush=True)
 
 
 def main(argv=None) -> int:
@@ -199,6 +293,13 @@ def main(argv=None) -> int:
         level=os.environ.get("LIGHTLY_OCR_LOGLEVEL", "WARNING").upper(),
         stream=sys.stderr,
     )
+    # aotcache hit/store/miss lines are INFO — surface them in EVERY
+    # run (the driver runs at the default WARNING root level, which
+    # made round 4's cache status invisible in the recorded tail;
+    # VERDICT r4 #1a).  stdout stays JSON-only either way.
+    logging.getLogger("lightly_ocr_tpu.utils.aotcache").setLevel(
+        logging.INFO
+    )
 
     import jax
 
@@ -220,6 +321,13 @@ def main(argv=None) -> int:
         rgb_to_gray,
     )
     from lightly_ocr_tpu.serving.batch import BatchedOCR
+
+    devs = jax.devices()
+    print(
+        f"env: jax {jax.__version__}, backend {jax.default_backend()}, "
+        f"{len(devs)}x {devs[0].device_kind}",
+        file=sys.stderr, flush=True,
+    )
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     cfg = Config(prediction=args.prediction, transform="TPS",
@@ -297,7 +405,7 @@ def main(argv=None) -> int:
     # stdout number within seconds of warmup even if the run is later
     # killed.  Also calibrates how many dispatches fit in the budget.
     t0 = time.perf_counter()
-    rps0, _, _, _ = _steady_state(
+    rps0, _, _, _, _ = _steady_state(
         ocr, canvases, gray, inv_ratio, args.batch, max(2, args.depth),
         args.depth,
     )
@@ -314,16 +422,36 @@ def main(argv=None) -> int:
             file=sys.stderr, flush=True,
         )
 
-    rps, p50, p95, _ = _steady_state(
+    rps, p50, p95, _, completions = _steady_state(
         ocr, canvases, gray, inv_ratio, args.batch, dispatches,
         args.depth,
     )
-    _emit(metric, rps)
+    # Official number: median of 3 contiguous sub-window rates — damps
+    # transient host/tunnel-band weather a single total-window rate
+    # absorbs wholesale (round 4: driver 153.05 vs same-HEAD mint
+    # 175.5 with no code difference).  The total-window rate is on
+    # stderr right below for continuity with rounds 1-4.
+    sub = _subwindow_rates(completions, args.batch)
+    if sub:
+        official = float(np.median(sub))
+        _emit(metric + " [median of 3 sub-windows]", official)
+        print(
+            f"sub-window r/s: "
+            + " / ".join(f"{r:.1f}" for r in sub)
+            + f" (median {official:.2f}); total-window {rps:.2f}",
+            file=sys.stderr, flush=True,
+        )
+    else:
+        _emit(metric, rps)
     print(
         f"p50 dispatch latency: {p50*1e3:.1f} ms, p95 {p95*1e3:.1f} ms "
         f"({p50*1e3/args.batch:.2f} ms/receipt amortized)",
         file=sys.stderr, flush=True,
     )
+    try:
+        _diagnostics(ocr, canvases, gray, inv_ratio, args.batch)
+    except Exception as e:  # diagnostics must never take down the run
+        print(f"diag block failed: {e!r}", file=sys.stderr, flush=True)
     if mesh is not None:
         print(
             f"mesh data={n_data}: {rps:.1f} r/s aggregate = "
@@ -373,7 +501,7 @@ def main(argv=None) -> int:
         # BASELINE config 5: 64 receipts in flight through the batched
         # path (batch x depth = 64)
         depth64 = max(1, 64 // args.batch)
-        rps64, p5064, _, _ = _steady_state(
+        rps64, p5064, _, _, _ = _steady_state(
             ocr, canvases, gray, inv_ratio, args.batch,
             max(args.dispatches, 2 * depth64), depth64,
         )
