@@ -163,3 +163,124 @@ def test_worker_error_propagates():
     with pytest.raises(RuntimeError):
         fut.result(timeout=5)
     w.close()
+
+
+def test_worker_bounded_queue_sheds():
+    """A burst beyond max_queue raises QueueFullError instead of
+    growing the queue without limit (VERDICT r4 weak #7)."""
+    from lightly_ocr_tpu.serving.server import (
+        InferenceWorker,
+        QueueFullError,
+    )
+
+    release = threading.Event()
+
+    def predict_fn(images):
+        release.wait(5)  # hold the worker so the queue backs up
+        return [["x"]] * len(images)
+
+    w = InferenceWorker(predict_fn, max_batch=1, max_queue=4)
+    accepted, shed = [], 0
+    for _ in range(32):
+        try:
+            accepted.append(w.submit(np.zeros((4, 4, 3), np.uint8)))
+        except QueueFullError:
+            shed += 1
+    assert shed > 0, "burst of 32 into a depth-4 queue must shed"
+    release.set()
+    for f in accepted:  # every accepted request still completes
+        assert f.result(timeout=5) == ["x"]
+    w.close()
+
+
+def test_api_overload_returns_503_with_retry_after(tmp_path):
+    """HTTP burst test: with the worker held busy and the queue at
+    depth 1, concurrent /api requests get load-shed with 503 +
+    Retry-After while the accepted request still answers 200."""
+    from lightly_ocr_tpu.serving.server import InferenceWorker, create_app
+
+    release = threading.Event()
+
+    def predict_fn(images):
+        release.wait(5)
+        return [["ok"]] * len(images)
+
+    worker = InferenceWorker(predict_fn, max_batch=1, max_queue=1)
+    app = create_app(FakeModel(), upload_folder=str(tmp_path),
+                     worker=worker)
+    body, ctype = _multipart("receipt.png", _png_bytes())
+
+    statuses, payloads, headers = [], [], []
+
+    def hit():
+        captured = {}
+
+        def start_response(status, hdrs):
+            captured["status"] = status
+            captured["headers"] = dict(hdrs)
+
+        environ = {
+            "REQUEST_METHOD": "POST",
+            "PATH_INFO": "/api",
+            "CONTENT_LENGTH": str(len(body)),
+            "CONTENT_TYPE": ctype,
+            "wsgi.input": io.BytesIO(body),
+        }
+        chunks = app(environ, start_response)
+        statuses.append(captured["status"])
+        payloads.append(json.loads(b"".join(chunks)))
+        headers.append(captured["headers"])
+
+    # first request occupies the worker; give it time to be dequeued
+    t0 = threading.Thread(target=hit)
+    t0.start()
+    deadline = threading.Event()
+    for _ in range(100):
+        if worker.q.empty():
+            break
+        deadline.wait(0.05)
+    # queue depth 1: one more is accepted, the rest shed
+    threads = [threading.Thread(target=hit) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for _ in range(100):
+        if sum(s.startswith("503") for s in statuses) >= 5:
+            break
+        deadline.wait(0.05)
+    release.set()
+    t0.join(timeout=10)
+    for t in threads:
+        t.join(timeout=10)
+
+    n503 = sum(s.startswith("503") for s in statuses)
+    n200 = sum(s.startswith("200") for s in statuses)
+    assert n503 >= 4, f"expected shed requests, statuses={statuses}"
+    assert n200 >= 1, f"accepted request must answer, statuses={statuses}"
+    for s, p, h in zip(statuses, payloads, headers):
+        if s.startswith("503"):
+            assert p == {"status": "overloaded"}
+            assert h.get("Retry-After") == "1"
+    worker.close()
+
+
+def test_api_request_timeout_returns_504(tmp_path):
+    """A request whose inference does not land within
+    request_timeout_s answers 504 {"status": "timeout"}."""
+    from lightly_ocr_tpu.serving.server import InferenceWorker, create_app
+
+    release = threading.Event()
+
+    def predict_fn(images):
+        release.wait(5)
+        return [["late"]] * len(images)
+
+    worker = InferenceWorker(predict_fn, max_batch=1, max_queue=4)
+    app = create_app(FakeModel(), upload_folder=str(tmp_path),
+                     worker=worker, request_timeout_s=0.2)
+    client = _make_client(app)
+    body, ctype = _multipart("receipt.png", _png_bytes())
+    status, payload = client("POST", "/api", body, ctype)
+    release.set()
+    assert status.startswith("504")
+    assert payload == {"status": "timeout"}
+    worker.close()
