@@ -52,7 +52,11 @@ from lightly_ocr_tpu.utils.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
-from lightly_ocr_tpu.utils.metrics import Averager, exact_match_accuracy
+from lightly_ocr_tpu.utils.metrics import (
+    Averager,
+    exact_match_accuracy,
+    normalized_edit_distance,
+)
 
 DASHED = "-" * 80
 
@@ -153,9 +157,11 @@ class Trainer:
             labels_all.extend(labels)
             confs_all.extend(out["confidence"].tolist())
         acc = exact_match_accuracy(preds_all, labels_all)
+        ned = normalized_edit_distance(preds_all, labels_all)
         return {
             "loss": avg_loss.val(),
             "accuracy": acc,
+            "norm_ED": ned,
             "preds": preds_all,
             "labels": labels_all,
             "confidence": confs_all,
@@ -170,6 +176,7 @@ class Trainer:
             f"[{step}/{cfg.num_iters}] train_loss: {train_loss:0.5f} | "
             f"val_loss: {ev['loss']:0.5f} | elapsed time: {elapsed:0.5f}",
             f"{'accuracy':20s}: {ev['accuracy']:0.3f}",
+            f"{'norm_ED':20s}: {ev['norm_ED']:0.3f}",
             f"{'best accuracy':20s}: {self.best_acc:0.3f}",
             DASHED,
             f"{'ground truth':20s} | {'prediction':20s} | confidence | T&F",
