@@ -190,8 +190,95 @@ class CraftTrainState(NamedTuple):
     step: jax.Array
 
 
-def make_craft_optimizer(lr: float = 1e-3, clip: float = 5.0):
-    return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+def make_craft_optimizer(
+    lr: float = 1e-3, clip: float = 5.0, freeze: Sequence[str] = ()
+):
+    """clip -> Adam, with the parameters under any ``basenet`` slice
+    named in ``freeze`` (e.g. ``("slice1",)``) receiving zero updates —
+    the counterpart of the reference's ``requires_grad=False`` loop
+    over slice1 (``ocr/modules/vgg_bn.py:57-60``).  BN running stats
+    of frozen slices still update (they are state, not params —
+    matching torch, where ``freeze`` does not toggle ``track_running_
+    stats``)."""
+    tx = optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+    if freeze:
+        names = frozenset(freeze)
+
+        def frozen_mask(params):
+            def is_frozen(path, _):
+                keys = {getattr(k, "key", None) for k in path}
+                return bool(keys & names)
+
+            return jax.tree_util.tree_map_with_path(is_frozen, params)
+
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
+    return tx
+
+
+def load_torchvision_backbone(variables: dict, source) -> dict:
+    """Seed ``basenet`` slices 1-4 from a torchvision ``vgg16_bn``
+    classifier state dict — the reference's pretrained-init path
+    (``ocr/modules/vgg_bn.py:36-43``: ``models.vgg16_bn(pretrained=
+    True).features`` copied into the slices; slice5 fc6/fc7 keeps its
+    fresh init, ``vgg_bn.py:52-55``).
+
+    ``source`` is a ``.pth`` path or a mapping of numpy arrays with
+    torchvision keys (``features.{idx}.weight`` ...).  The slice op
+    tables (models/vgg_unet._VGG_SLICES) already use torchvision layer
+    indices as flax module names, so the mapping is direct.  Returns a
+    new ``{params, batch_stats}`` dict; raises KeyError/ValueError on
+    a missing key or shape mismatch (a silent partial init would be a
+    debugging trap).
+    """
+    from lightly_ocr_tpu.models.vgg_unet import _VGG_SLICES
+
+    if isinstance(source, str):
+        from lightly_ocr_tpu.utils.torch_import import (
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(source)
+    else:
+        sd = {k: np.asarray(v) for k, v in source.items()}
+    # torchvision's full-classifier dict prefixes with "features."; a
+    # dict of just the features Sequential has bare integer keys
+    if not any(k.startswith("features.") for k in sd):
+        sd = {f"features.{k}": v for k, v in sd.items()}
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        if node[path[-1]].shape != value.shape:
+            raise ValueError(
+                f"{'/'.join(path)}: shape {node[path[-1]].shape} vs "
+                f"torchvision {value.shape}"
+            )
+        node[path[-1]] = value.astype(node[path[-1]].dtype)
+
+    for slice_name, ops in _VGG_SLICES.items():
+        for op in ops:
+            if op[0] != "C":
+                continue
+            idx = op[1]
+            w = sd[f"features.{idx}.weight"]  # [O, I, kh, kw] -> HWIO
+            put(params, ("basenet", slice_name, str(idx), "kernel"),
+                np.transpose(w, (2, 3, 1, 0)))
+            put(params, ("basenet", slice_name, str(idx), "bias"),
+                sd[f"features.{idx}.bias"])
+            bn = str(idx + 1)
+            put(params, ("basenet", slice_name, bn, "scale"),
+                sd[f"features.{idx + 1}.weight"])
+            put(params, ("basenet", slice_name, bn, "bias"),
+                sd[f"features.{idx + 1}.bias"])
+            put(stats, ("basenet", slice_name, bn, "mean"),
+                sd[f"features.{idx + 1}.running_mean"])
+            put(stats, ("basenet", slice_name, bn, "var"),
+                sd[f"features.{idx + 1}.running_var"])
+    return {"params": params, "batch_stats": stats}
 
 
 def init_craft_state(
@@ -199,22 +286,30 @@ def init_craft_state(
     lr: float = 1e-3,
     dtype: Any = jnp.float32,
     image_hw: tuple[int, int] = (64, 64),
+    init_backbone=None,
+    freeze: Sequence[str] = (),
 ) -> tuple[VGG_UNet, CraftTrainState]:
+    """``init_backbone``: torchvision vgg16_bn state dict (path or
+    mapping) to seed slices 1-4 from; ``freeze``: slice names whose
+    params get zero updates (reference ``vgg_bn.py:36-43,57-60``)."""
     model = VGG_UNet(dtype=dtype)
     dummy = jnp.zeros((1, *image_hw, 3), jnp.float32)
     variables = model.init(rng, dummy, True)
+    if init_backbone is not None:
+        variables = load_torchvision_backbone(variables, init_backbone)
     return model, CraftTrainState(
         variables["params"],
         variables.get("batch_stats", {}),
-        make_craft_optimizer(lr).init(variables["params"]),
+        make_craft_optimizer(lr, freeze=freeze).init(variables["params"]),
         jnp.int32(0),
     )
 
 
 def make_craft_train_step(
-    model: VGG_UNet, lr: float = 1e-3, clip: float = 5.0
+    model: VGG_UNet, lr: float = 1e-3, clip: float = 5.0,
+    freeze: Sequence[str] = (),
 ) -> Callable:
-    optimizer = make_craft_optimizer(lr, clip)
+    optimizer = make_craft_optimizer(lr, clip, freeze=freeze)
 
     def loss_fn(params, batch_stats, batch):
         out, new_vars = model.apply(
@@ -261,18 +356,25 @@ def train_craft(
     checkpoint_dir: str | None = None,
     log_fn: Callable[[str], None] = print,
     records: str | None = None,
+    init_backbone=None,
+    freeze: Sequence[str] = (),
 ) -> tuple[VGG_UNet, CraftTrainState, list[float]]:
     """Detector training: synthetic data by default, or REAL word-box
     data via ``records`` (a LOR1 detection record file — word rects +
     transcripts are split into character gaussians by the
     pseudo-labeling pipeline, ``train/pseudo_labels.py``).
 
+    ``init_backbone`` seeds slices 1-4 from a torchvision vgg16_bn
+    state dict and ``freeze`` pins named slices (the reference's
+    pretrained+freeze fine-tuning mode, ``vgg_bn.py:36-43,57-60``).
+
     Pass a ``('data','model')`` mesh to shard the batch over devices
     (batch must divide by the data axis).
     """
     rng = np.random.default_rng(seed)
     model, state = init_craft_state(
-        jax.random.key(seed), lr, image_hw=(height, width)
+        jax.random.key(seed), lr, image_hw=(height, width),
+        init_backbone=init_backbone, freeze=freeze,
     )
     if mesh is not None:
         from lightly_ocr_tpu.parallel.mesh import shard_batch, shard_variables
@@ -280,7 +382,7 @@ def train_craft(
         state = CraftTrainState(
             *shard_variables(tuple(state[:3]), mesh), state.step
         )
-    step_fn = make_craft_train_step(model, lr)
+    step_fn = make_craft_train_step(model, lr, freeze=freeze)
     data_iter = None
     if records is not None:
         from lightly_ocr_tpu.train.pseudo_labels import batches_from_records
@@ -337,6 +439,12 @@ def main(argv: Sequence[str] | None = None) -> int:
                         "default: synthetic data")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
+    p.add_argument("--init-backbone", default=None,
+                   help="torchvision vgg16_bn state-dict .pth to seed "
+                        "basenet slices 1-4 (reference vgg_bn.py:36-43)")
+    p.add_argument("--freeze", default="",
+                   help="comma list of basenet slices to freeze, e.g. "
+                        "'slice1' (reference vgg_bn.py:57-60)")
     args = p.parse_args(argv)
 
     mesh = None
@@ -354,6 +462,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         mesh=mesh,
         checkpoint_dir=args.checkpoint_dir,
         records=args.records,
+        init_backbone=args.init_backbone,
+        freeze=tuple(t for t in args.freeze.split(",") if t),
     )
     print(f"final loss {losses[-1]:.5f} (first {losses[0]:.5f})")
     return 0

@@ -96,3 +96,108 @@ def test_craft_checkpoint_written(tmp_path, rng):
     b = jax.tree_util.tree_leaves(state.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _fake_torchvision_vgg16_bn(rng, template_params):
+    """torchvision-format vgg16_bn features dict (numpy) with the exact
+    conv/BN shapes of basenet slices 1-4."""
+    from lightly_ocr_tpu.models.vgg_unet import _VGG_SLICES
+
+    sd = {}
+    for slice_name, ops in _VGG_SLICES.items():
+        for op in ops:
+            if op[0] != "C":
+                continue
+            idx = op[1]
+            k = template_params["basenet"][slice_name][str(idx)]["kernel"]
+            kh, kw, cin, cout = k.shape
+            sd[f"features.{idx}.weight"] = rng.standard_normal(
+                (cout, cin, kh, kw)
+            ).astype(np.float32)
+            sd[f"features.{idx}.bias"] = rng.standard_normal(cout).astype(
+                np.float32
+            )
+            sd[f"features.{idx + 1}.weight"] = rng.standard_normal(
+                cout
+            ).astype(np.float32)
+            sd[f"features.{idx + 1}.bias"] = rng.standard_normal(
+                cout
+            ).astype(np.float32)
+            sd[f"features.{idx + 1}.running_mean"] = rng.standard_normal(
+                cout
+            ).astype(np.float32)
+            sd[f"features.{idx + 1}.running_var"] = np.abs(
+                rng.standard_normal(cout)
+            ).astype(np.float32)
+    return sd
+
+
+def test_backbone_init_from_torchvision(rng):
+    """load_torchvision_backbone seeds slices 1-4 exactly (kernel OIHW
+    -> HWIO transpose, BN scale/bias/mean/var) and leaves slice5 +
+    decoder untouched (reference vgg_bn.py:36-43,52-55)."""
+    from lightly_ocr_tpu.train.craft import load_torchvision_backbone
+
+    model, state = init_craft_state(jax.random.key(0), image_hw=(64, 64))
+    sd = _fake_torchvision_vgg16_bn(rng, state.params)
+    before5 = jax.tree_util.tree_map(
+        np.asarray, state.params["basenet"]["slice5"]
+    )
+    out = load_torchvision_backbone(
+        {"params": state.params, "batch_stats": state.batch_stats}, sd
+    )
+    k = out["params"]["basenet"]["slice1"]["0"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(k),
+        np.transpose(sd["features.0.weight"], (2, 3, 1, 0)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["basenet"]["slice4"]["37"]["bias"]),
+        sd["features.37.bias"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["batch_stats"]["basenet"]["slice2"]["15"]["mean"]),
+        sd["features.15.running_mean"],
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(before5),
+        jax.tree_util.tree_leaves(out["params"]["basenet"]["slice5"]),
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_backbone_init_shape_mismatch_raises(rng):
+    from lightly_ocr_tpu.train.craft import load_torchvision_backbone
+
+    _, state = init_craft_state(jax.random.key(0), image_hw=(64, 64))
+    sd = _fake_torchvision_vgg16_bn(rng, state.params)
+    sd["features.0.weight"] = sd["features.0.weight"][:32]  # wrong cout
+    with pytest.raises(ValueError, match="shape"):
+        load_torchvision_backbone(
+            {"params": state.params, "batch_stats": state.batch_stats}, sd
+        )
+
+
+def test_freeze_slice1_pins_params(rng):
+    """freeze=('slice1',): after real train steps slice1 params are
+    bit-identical while the decoder moved (reference vgg_bn.py:57-60)."""
+    _, state, losses = train_craft(
+        num_steps=2, batch=1, height=64, width=64, log_every=0,
+        freeze=("slice1",),
+    )
+    _, init_state = init_craft_state(
+        jax.random.key(0), image_hw=(64, 64), freeze=("slice1",)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(init_state.params["basenet"]["slice1"]),
+        jax.tree_util.tree_leaves(state.params["basenet"]["slice1"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = [
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(init_state.params["upconv1"]),
+            jax.tree_util.tree_leaves(state.params["upconv1"]),
+        )
+    ]
+    assert all(moved), "unfrozen decoder params must update"
