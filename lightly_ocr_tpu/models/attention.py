@@ -82,7 +82,17 @@ class Attention(nn.Module):
         text: jax.Array | None = None,  # [B, >=num_steps] int32 ([GO]-prefixed)
         train: bool = False,
         beam_width: int | None = None,  # static; inference-only beam search
+        lm: jax.Array | None = None,  # [C, C] shallow-fusion log-prior
     ) -> jax.Array:
+        """``lm`` (inference-only): a [num_classes, num_classes]
+        log-prior in ATTENTION index space ([GO]=0, [s]=1, chars 2+ —
+        ``models/decode.load_lm_prior`` remaps the charset-space .npy).
+        Greedy: ``lm[prev]`` is added to each step's logits before the
+        argmax feedback AND in the emitted scores, so the returned
+        [B, S, C] are fused scores whose softmax is the shallow-fusion
+        posterior (P_model * P_lm, decode_preds' confidence).  Beam:
+        added to the per-extension log-probs before top_k — the same
+        fusion point as the CTC beam (``ops/ctc.py``)."""
         B, T, n_in = feats.shape
         cell = AttentionCellParams(
             n_in, self.hidden, self.num_classes, self.dtype, name="attention_cell"
@@ -110,6 +120,8 @@ class Attention(nn.Module):
         _ = generator(h0)
 
         if train:
+            if lm is not None:
+                raise ValueError("lm fusion is inference-only")
             if text is None:
                 raise ValueError("teacher forcing requires `text`")
             onehots = jax.nn.one_hot(
@@ -132,8 +144,10 @@ class Attention(nn.Module):
         if beam_width is not None:
             return self._beam_decode(
                 feats, feats_proj, cell, generator,
-                (w_ih, w_hh, b_ih, b_hh), int(beam_width),
+                (w_ih, w_hh, b_ih, b_hh), int(beam_width), lm=lm,
             )
+
+        lm_t = None if lm is None else lm.astype(jnp.float32)
 
         def step(carry, _):
             h, c, prev = carry
@@ -142,6 +156,10 @@ class Attention(nn.Module):
             inp = jnp.concatenate([context, onehot], axis=1)
             h, c = lstm_cell_step(inp, h, c, w_ih, w_hh, b_ih, b_hh)
             probs_step = generator(h)
+            if lm_t is not None:
+                # fused scores: emitted AND fed back, so the external
+                # argmax (decode_preds) agrees with the internal one
+                probs_step = probs_step.astype(jnp.float32) + lm_t[prev]
             nxt = jnp.argmax(probs_step, axis=1)
             return (h, c, nxt), probs_step
 
@@ -151,7 +169,8 @@ class Attention(nn.Module):
         )
         return jnp.swapaxes(probs, 0, 1)  # [B, S, C]
 
-    def _beam_decode(self, feats, feats_proj, cell, generator, lstm_w, W):
+    def _beam_decode(self, feats, feats_proj, cell, generator, lstm_w, W,
+                     lm=None):
         """Beam search over the autoregressive decode (beyond parity —
         the reference argmax-feeds only, ``attention.py:45-59``).
 
@@ -204,6 +223,8 @@ class Attention(nn.Module):
             h2, c2 = lstm_cell_step(inp, h, c, w_ih, w_hh, b_ih, b_hh)
             logits = generator(h2).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, W, C)
+            if lm is not None:  # shallow fusion per extension
+                logp = logp + lm.astype(jnp.float32)[prev]
             # finished beams may only emit EOS, at zero cost
             forced = jnp.where(
                 jnp.arange(C)[None, None, :] == EOS, 0.0, NEG

@@ -38,6 +38,7 @@ class CRNNet(nn.Module):
         text: jax.Array | None = None,  # [B, >=num_steps] for teacher forcing
         train: bool = False,
         beam_width: int | None = None,  # Attention-only beam decode
+        lm: jax.Array | None = None,  # Attention-only shallow-fusion prior
     ) -> jax.Array:
         if self.quant and train:
             raise ValueError(
@@ -79,6 +80,11 @@ class CRNNet(nn.Module):
                     "CTC beam search is ops.ctc.ctc_beam_search_decode "
                     "over the logits"
                 )
+            if lm is not None:
+                raise ValueError(
+                    "lm applies to the Attention head only; the CTC "
+                    "prior is fused inside ctc_beam_search_decode"
+                )
             return nn.Dense(
                 cfg.derived_num_classes, dtype=self.dtype, name="Prediction"
             )(x)
@@ -88,7 +94,7 @@ class CRNNet(nn.Module):
             num_steps=cfg.num_steps,
             dtype=self.dtype,
             name="Prediction",
-        )(x, text, train, beam_width)
+        )(x, text, train, beam_width, lm)
 
 
 def init_crnn(

@@ -35,27 +35,51 @@ import numpy as np
 from lightly_ocr_tpu.config import Config
 
 
+def lm_prior_to_attention_space(arr: np.ndarray) -> np.ndarray:
+    """Remap a charset-space [n+1, n+1] transition log-prior (the
+    ``scripts/build_lm_prior.py`` layout: row/col 0 = word start /
+    blank, i+1 = i-th charset char) into ATTENTION index space
+    [n+2, n+2] ([GO]=0, [s]=1, chars at 2+): [GO] inherits the
+    word-start row, char rows/cols shift by one, and the [s] (EOS)
+    row/column stays 0 — the prior reranks characters, never the stop
+    decision (the acoustic model owns termination)."""
+    n = arr.shape[0] - 1
+    out = np.zeros((n + 2, n + 2), arr.dtype)
+    out[0, 2:] = arr[0, 1:]        # word start -> first char
+    out[2:, 2:] = arr[1:, 1:]      # char -> char
+    return out
+
+
 def load_lm_prior(cfg: Config) -> jax.Array | None:
     """Load the shallow-fusion transition prior named by
-    ``cfg.ctc_lm_path`` (a ``.npy`` [C, C] float array of log-priors,
-    C = ``cfg.derived_num_classes``; fold any fusion weight into the
-    values).  Empty path -> None (no prior).  Only meaningful for
-    ``prediction="CTC"`` + ``ctc_decode="beam"``."""
+    ``cfg.ctc_lm_path`` (a ``.npy`` [n+1, n+1] charset-space float
+    array of log-priors as built by ``scripts/build_lm_prior.py``;
+    fold any fusion weight into the values).  Empty path -> None.
+
+    * ``prediction="CTC"`` requires ``ctc_decode="beam"`` (a
+      transition prior needs token-level extensions; CTC greedy is
+      per-frame) and uses the array as-is (CTC labels ARE the charset
+      space: blank=0, chars 1+).
+    * ``prediction="Attention"`` works with greedy AND beam (the
+      decode is token-autoregressive either way) after remapping to
+      attention index space (:func:`lm_prior_to_attention_space`)."""
     if not cfg.ctc_lm_path:
         return None
-    if cfg.prediction != "CTC" or cfg.ctc_decode != "beam":
+    if cfg.prediction == "CTC" and cfg.ctc_decode != "beam":
         raise ValueError(
-            "ctc_lm_path is only used with prediction='CTC' and "
-            f"ctc_decode='beam' (got prediction={cfg.prediction!r}, "
-            f"ctc_decode={cfg.ctc_decode!r})"
+            "with prediction='CTC' the LM prior needs ctc_decode='beam' "
+            f"(got ctc_decode={cfg.ctc_decode!r}); the Attention head "
+            "accepts it in greedy and beam modes"
         )
     arr = np.load(os.path.expanduser(cfg.ctc_lm_path))
-    C = cfg.derived_num_classes
-    if arr.shape != (C, C):
+    n = len(cfg.character)
+    if arr.shape != (n + 1, n + 1):
         raise ValueError(
-            f"LM prior at {cfg.ctc_lm_path!r} must be [C, C] = {(C, C)}, "
-            f"got {arr.shape}"
+            f"LM prior at {cfg.ctc_lm_path!r} must be charset-space "
+            f"[n+1, n+1] = {(n + 1, n + 1)}, got {arr.shape}"
         )
+    if cfg.prediction != "CTC":
+        arr = lm_prior_to_attention_space(np.asarray(arr))
     return jnp.asarray(arr, jnp.float32)
 
 
@@ -99,11 +123,21 @@ def decode_crops(
     ``cfg``.  Traceable; call under jit with ``cfg``/``lm`` closed over."""
     if cfg.prediction != "CTC" and cfg.attn_decode == "beam":
         tokens, scores = net.apply(
-            variables, crops, None, False, cfg.beam_width
+            variables, crops, None, False, cfg.beam_width, lm
         )
         return tokens[:, 0], jnp.exp(scores[:, 0].astype(jnp.float32))
+    if cfg.prediction != "CTC" and lm is not None:
+        # greedy shallow fusion happens INSIDE the decode scan (the
+        # prior must steer the feedback token, not just the readout)
+        preds = net.apply(variables, crops, None, False, None, lm)
+        return decode_preds(preds, cfg, None)
     preds = net.apply(variables, crops, None, False)  # [K, T, C]
     return decode_preds(preds, cfg, lm)
 
 
-__all__ = ["load_lm_prior", "decode_preds", "decode_crops"]
+__all__ = [
+    "load_lm_prior",
+    "lm_prior_to_attention_space",
+    "decode_preds",
+    "decode_crops",
+]

@@ -362,10 +362,12 @@ def main(argv=None) -> int:
                              "posteriors as confidences)")
     parser.add_argument("--beam-width", type=int, default=None)
     parser.add_argument("--lm", default=None, metavar="PRIOR_NPY",
-                        help="shallow-fusion LM for CTC beam decode: "
-                             "path to a .npy [C, C] transition "
-                             "log-prior (sets ctc_lm_path; requires "
-                             "prediction=CTC and --decode beam)")
+                        help="shallow-fusion LM prior: path to a "
+                             "charset-space .npy transition log-prior "
+                             "(scripts/build_lm_prior.py).  CTC needs "
+                             "--decode beam; the Attention head fuses "
+                             "it in greedy AND beam decode (sets "
+                             "ctc_lm_path)")
     opt = parser.parse_args(argv)
     from dataclasses import replace
 

@@ -133,3 +133,132 @@ def test_lm_prior_improves_exact_match():
         f"LM prior gained only {acc_fused - acc_plain:.3f} "
         f"({acc_plain:.3f} -> {acc_fused:.3f})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Attention-head shallow fusion (VERDICT r4 #6: the LM must serve the
+# flagship serving path, not only CTC beams)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_prior_to_attention_space_layout():
+    from lightly_ocr_tpu.models.decode import lm_prior_to_attention_space
+
+    n = 3
+    arr = np.arange((n + 1) * (n + 1), dtype=np.float32).reshape(n + 1, -1)
+    out = lm_prior_to_attention_space(arr)
+    assert out.shape == (n + 2, n + 2)
+    # [GO] row inherits the word-start distribution over chars
+    np.testing.assert_array_equal(out[0, 2:], arr[0, 1:])
+    # char block shifts by one ([s] slot inserted at index 1)
+    np.testing.assert_array_equal(out[2:, 2:], arr[1:, 1:])
+    # EOS row/col and [GO] col stay 0: prior reranks chars, not stopping
+    np.testing.assert_array_equal(out[1, :], 0.0)
+    np.testing.assert_array_equal(out[:, 1], 0.0)
+    np.testing.assert_array_equal(out[:, 0], 0.0)
+
+
+def test_load_lm_prior_modes(tmp_path):
+    from lightly_ocr_tpu.config import Config
+    from lightly_ocr_tpu.models.decode import load_lm_prior
+
+    lm_np = build_prior(CORPUS_WORDS, weight=0.4)
+    p = str(tmp_path / "prior.npy")
+    np.save(p, lm_np)
+    C = len(DEFAULT_CHARSET) + 1
+
+    # CTC greedy: rejected (frames are not token extensions)
+    with pytest.raises(ValueError, match="beam"):
+        load_lm_prior(Config(prediction="CTC", ctc_lm_path=p))
+    # CTC beam: charset space, as-is
+    lm = load_lm_prior(
+        Config(prediction="CTC", ctc_decode="beam", ctc_lm_path=p)
+    )
+    assert lm.shape == (C, C)
+    # Attention greedy AND beam: remapped to attention space
+    for decode in ("greedy", "beam"):
+        lm = load_lm_prior(
+            Config(prediction="Attention", attn_decode=decode,
+                   ctc_lm_path=p)
+        )
+        assert lm.shape == (C + 1, C + 1)
+        np.testing.assert_array_equal(np.asarray(lm)[1, :], 0.0)
+
+
+def _tiny_attention(C=7, hidden=8, T=5, steps=6, B=2, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from lightly_ocr_tpu.models.attention import Attention
+
+    net = Attention(hidden=hidden, num_classes=C, num_steps=steps)
+    feats = jax.random.normal(jax.random.key(seed + 1), (B, T, hidden))
+    variables = net.init(jax.random.key(seed), feats)
+    return net, variables, feats
+
+
+def test_attention_greedy_fusion_zero_prior_is_identity():
+    import jax.numpy as jnp
+
+    net, variables, feats = _tiny_attention()
+    base = net.apply(variables, feats)
+    fused = net.apply(
+        variables, feats, None, False, None, jnp.zeros((7, 7))
+    )
+    np.testing.assert_allclose(
+        np.asarray(base, np.float32), np.asarray(fused), atol=1e-6
+    )
+
+
+def test_attention_greedy_fusion_steers_first_token():
+    """A prior that vetoes the natural first token must flip step 0 to
+    the runner-up of (logits + lm[GO]) — fusion steers the FEEDBACK,
+    not just the readout."""
+    import jax.numpy as jnp
+
+    net, variables, feats = _tiny_attention()
+    base = np.asarray(net.apply(variables, feats), np.float32)  # [B,S,C]
+    tok0 = base[:, 0].argmax(-1)
+    lm = np.zeros((7, 7), np.float32)
+    lm[0, tok0[0]] = -1e9  # veto batch-0's natural first token
+    fused = np.asarray(
+        net.apply(variables, feats, None, False, None, jnp.asarray(lm))
+    )
+    want0 = (base[0, 0] + lm[0]).argmax(-1)
+    got0 = fused[0, 0].argmax(-1)
+    assert got0 == want0 != tok0[0]
+    # batch 1 unaffected at step 0 unless it shared the vetoed token
+    if tok0[1] != tok0[0]:
+        assert fused[1, 0].argmax(-1) == tok0[1]
+    # emitted scores are the fused ones (readout == feedback basis)
+    np.testing.assert_allclose(fused[0, 0], base[0, 0] + lm[0], atol=1e-5)
+
+
+def test_attention_beam_fusion_zero_prior_is_identity():
+    import jax.numpy as jnp
+
+    net, variables, feats = _tiny_attention()
+    t0, s0 = net.apply(variables, feats, None, False, 4)
+    t1, s1 = net.apply(
+        variables, feats, None, False, 4, jnp.zeros((7, 7))
+    )
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_allclose(
+        np.asarray(s0), np.asarray(s1), atol=1e-6
+    )
+
+
+def test_attention_beam_fusion_reranks():
+    """Vetoing the plain top beam's first token must change the beam
+    winner's first token."""
+    import jax.numpy as jnp
+
+    net, variables, feats = _tiny_attention()
+    t0, _ = net.apply(variables, feats, None, False, 4)
+    first = int(np.asarray(t0)[0, 0, 0])
+    lm = np.zeros((7, 7), np.float32)
+    lm[0, first] = -1e9
+    t1, _ = net.apply(
+        variables, feats, None, False, 4, jnp.asarray(lm)
+    )
+    assert int(np.asarray(t1)[0, 0, 0]) != first
