@@ -220,36 +220,65 @@ def stage_eval(args):
           f"({ev['len_data']} words)", flush=True)
 
     # --- end-to-end receipts through the real pipeline ---------------
+    # Detection is scored on BOTH axes at TWO IoU bars (VERDICT r4
+    # weak #6: recall-only@0.3 is nearly unfalsifiable — a detector
+    # that fires everywhere aces it):
+    #   recall@t    — GT words matched by some predicted box at IoU>=t
+    #   precision@t — predicted boxes matching some GT word at IoU>=t
+    #   false positives — predicted boxes with best-GT IoU < 0.3
     cfg, det, rec = _load_engines(args.transform)
     rng = np.random.default_rng(23)
     got_words = 0
     total_words = 0
-    detected = 0
+    total_preds = 0
+    detected = {0.3: 0, 0.5: 0}
+    matched_preds = {0.3: 0, 0.5: 0}
+    false_pos = 0
     for _ in range(args.eval_receipts):
         image, words = synthesize_receipt(rng, RH, RW)
         items = get_text_detailed(image, det, rec)
         total_words += len(words)
+        total_preds += len(items)
         for w in words:
             best, best_iou = None, 0.0
             for it in items:
                 iou = _rect_iou(w["rect"], it["rect"])
                 if iou > best_iou:
                     best, best_iou = it, iou
-            if best_iou >= 0.3:
-                detected += 1
-                if best["text"] == w["text"]:
-                    got_words += 1
-    det_recall = detected / max(total_words, 1)
+            for t in detected:
+                detected[t] += best_iou >= t
+            if best_iou >= 0.3 and best["text"] == w["text"]:
+                got_words += 1
+        for it in items:
+            best_iou = max(
+                (_rect_iou(w["rect"], it["rect"]) for w in words),
+                default=0.0,
+            )
+            for t in matched_preds:
+                matched_preds[t] += best_iou >= t
+            false_pos += best_iou < 0.3
+    det_recall = detected[0.3] / max(total_words, 1)
+    det_recall50 = detected[0.5] / max(total_words, 1)
+    det_prec = matched_preds[0.3] / max(total_preds, 1)
+    det_prec50 = matched_preds[0.5] / max(total_preds, 1)
     read_acc = got_words / max(total_words, 1)
     print(
-        f"eval e2e: {args.eval_receipts} receipts, {total_words} words — "
-        f"detection recall {det_recall:.3f}, read accuracy {read_acc:.3f}",
+        f"eval e2e: {args.eval_receipts} receipts, {total_words} words, "
+        f"{total_preds} predicted boxes — recall {det_recall:.3f}@0.3 / "
+        f"{det_recall50:.3f}@0.5, precision {det_prec:.3f}@0.3 / "
+        f"{det_prec50:.3f}@0.5, {false_pos} false positives, "
+        f"read accuracy {read_acc:.3f}",
         flush=True,
     )
     return {
         "word_acc": word_acc,
         "val_words": ev["len_data"],
         "det_recall": det_recall,
+        "det_recall50": det_recall50,
+        "det_prec": det_prec,
+        "det_prec50": det_prec50,
+        "false_pos": false_pos,
+        "total_preds": total_preds,
         "read_acc": read_acc,
         "total_words": total_words,
         "samples": list(zip(ev["labels"][:8], ev["preds"][:8])),
@@ -299,7 +328,9 @@ pretrained weights are environment-blocked).  Generated by
 | metric | value |
 |---|---|
 | recognizer held-out word exact-match | **{metrics['word_acc'] / 100:.3f}** ({metrics['val_words']} words) |
-| e2e detection recall (IoU>=0.3) | **{metrics['det_recall']:.3f}** |
+| e2e detection recall @ IoU 0.3 / 0.5 | **{metrics['det_recall']:.3f}** / **{metrics['det_recall50']:.3f}** |
+| e2e detection precision @ IoU 0.3 / 0.5 | **{metrics['det_prec']:.3f}** / **{metrics['det_prec50']:.3f}** ({metrics['total_preds']} predicted boxes) |
+| e2e false positives (best IoU < 0.3) | **{metrics['false_pos']}** |
 | e2e word read accuracy | **{metrics['read_acc']:.3f}** ({metrics['total_words']} words) |
 
 The e2e rows run fresh synthetic receipts through the REAL serving
