@@ -117,10 +117,19 @@ def synthesize_batch(
                 )
                 center = (r + ch_h / 2, cc + ch_w / 2)
                 if prev_center is not None:
+                    # span the INNER QUARTERS of both characters, not
+                    # just center-to-center: with center-to-center
+                    # blobs a well-fit prediction leaves the >0.4 zones
+                    # of region and affinity gaussians only marginally
+                    # touching, and word CCs split at wide char pairs
+                    # (real CRAFT affinity quads also reach into both
+                    # char boxes).  Measured: the 3000-step demo
+                    # detector split '2tk' -> '2'+'tk' at link 0.4
+                    # under the old geometry.
                     ar0 = (r - ch_h * 0.1) / 2
                     ar1 = (r + ch_h * 1.1) / 2
-                    ac0 = (prev_center[1]) / 2
-                    ac1 = (center[1]) / 2
+                    ac0 = (prev_center[1] - ch_w * 0.25) / 2
+                    ac1 = (center[1] + ch_w * 0.25) / 2
                     _paste_gaussian(affinity[b], ar0, ac0, ar1, ac1)
                 prev_center = center
         # ImageNet-style normalization range, equal channels

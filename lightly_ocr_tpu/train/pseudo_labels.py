@@ -113,20 +113,27 @@ def render_craft_targets(
     region = np.zeros((h2, w2), np.float32)
     affinity = np.zeros((h2, w2), np.float32)
     for char_boxes in words_char_boxes:
-        prev_center = None
+        prev = None
         for r0, c0, r1, c1 in np.asarray(char_boxes, np.float32):
             _paste_gaussian(region, r0 / 2, c0 / 2, r1 / 2, c1 / 2)
             center = ((r0 + r1) / 2, (c0 + c1) / 2)
-            if prev_center is not None:
-                hh = r1 - r0
+            if prev is not None:
+                # inner-quarter span (see craft.synthesize_batch): a
+                # center-to-center blob leaves region/affinity >0.4
+                # zones only marginally touching once the prediction
+                # fits the target sharply, and word CCs split at wide
+                # char pairs; reaching 1/4 into each char guarantees
+                # threshold-zone overlap (region ~0.46 at the 1/4
+                # point of its gaussian).
+                (pc, pw), hh = prev, r1 - r0
                 _paste_gaussian(
                     affinity,
                     (r0 - 0.1 * hh) / 2,
-                    prev_center[1] / 2,
+                    (pc[1] - 0.25 * pw) / 2,
                     (r1 + 0.1 * hh) / 2,
-                    center[1] / 2,
+                    (center[1] + 0.25 * (c1 - c0)) / 2,
                 )
-            prev_center = center
+            prev = (center, c1 - c0)
     return region, affinity
 
 
