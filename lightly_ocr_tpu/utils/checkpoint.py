@@ -27,8 +27,16 @@ def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
 def save_checkpoint(directory: str, step: int, state: Any,
                     metrics: dict | None = None,
                     max_to_keep: int = 5) -> None:
+    # Same-step re-save must REPLACE: orbax otherwise refuses a step
+    # that already exists (silently skipped, or StepAlreadyExistsError
+    # under force=True) — a retrain ending at the same final step
+    # would keep the stale weights on disk (observed: two demo-CRAFT
+    # retrains both ending at step 3000, the second's state lost).
     mgr = _manager(directory, max_to_keep)
-    mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+    if step in mgr.all_steps():
+        mgr.delete(step)
+    mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics,
+             force=True)
     mgr.wait_until_finished()
     mgr.close()
 

@@ -328,3 +328,119 @@ def test_e2e_golden_parity_int8(tmp_path, rng):
         tmp_path, rng, (360, 280), canvas_size=1280, case="int8",
         int8=True,
     )
+
+
+def _demo_craft_vars():
+    """The committed trained demo CRAFT checkpoint as f32 variables —
+    a LEARNED (bimodal) score distribution, i.e. the production-shape
+    operating point the random-weight cases cannot represent."""
+    import jax
+
+    from lightly_ocr_tpu.models.vgg_unet import VGG_UNet
+    from lightly_ocr_tpu.utils.checkpoint import restore_checkpoint
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "save_models", "demo_craft_bf16",
+    )
+    if not os.path.isdir(ckpt):
+        pytest.skip("demo CRAFT checkpoint absent")
+    net = VGG_UNet()
+    tmpl = net.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    state, _ = restore_checkpoint(
+        ckpt, {"params": tmpl["params"], "batch_stats": tmpl["batch_stats"]}
+    )
+    f32 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: jnp.asarray(a, jnp.float32), t
+    )
+    return {"params": f32(state["params"]),
+            "batch_stats": f32(state["batch_stats"])}
+
+
+@pytest.mark.slow
+def test_e2e_golden_parity_int8_detection(tmp_path):
+    """The SHIPPED serving mode — int8 DETECTION — oracle-gated end to
+    end at a production-plausible operating point (VERDICT r4 #4).
+
+    Round 4's restructure (commit a0cdfde) left int8 detection gated
+    only by a random-small-weight test; this case restores the torch
+    oracle to the chain at a LEARNED score distribution: the committed
+    demo CRAFT checkpoint (trained on synthetic receipts,
+    scripts/train_demo.py) runs at the reference's production
+    thresholds (0.4/0.7, config.yml) through three detectors on the
+    same receipt:
+
+      torch reference (float, same weights)   <- the oracle
+      ours float                              >= 0.99 mean IoU vs oracle
+      ours int8 (quant_int8=True, w8a8)       >= 0.99 mean IoU vs oracle
+
+    so int8 detection is transitively gated against the reference's
+    actual cv2/torch chain (det_utils.py:35-94 outputs), not just
+    against our own float program."""
+    from functools import cmp_to_key
+
+    from reference_oracle import load_reference_engines
+
+    from lightly_ocr_tpu.data.generator import synthesize_receipt
+    from lightly_ocr_tpu.utils.checkpoint import restore_checkpoint  # noqa: F401
+
+    refnet, _, _ = load_reference_engines()
+    det_vars = _demo_craft_vars()
+    RH, RW = 320, 256  # the demo checkpoint's training geometry
+
+    cfg = load_config(os.path.join(REF, "config.yml")).replace(
+        magnify_ratio=1.0, bucket_granularity=32, max_boxes=64,
+    )
+    image, _ = synthesize_receipt(np.random.default_rng(31), RH, RW)
+
+    # torch oracle with the SAME weights
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_torch_state_dict(det_vars).items()
+    }
+    tmpl_t = refnet.VGG_UNet().state_dict()
+    for k, v in tmpl_t.items():
+        sd.setdefault(k, v)
+    torch.save(sd, tmp_path / "CRAFT.pth")
+    old = refnet.MODEL_PATH
+    refnet.MODEL_PATH = str(tmp_path)
+    try:
+        ref_det = refnet.CRAFT(device=torch.device("cpu"))
+    finally:
+        refnet.MODEL_PATH = old
+    ref_det.canvas_size = cfg.canvas_size
+    ref_det.magnify_ratio = cfg.magnify_ratio
+    ref_det.lowTxtScore = cfg.low_text
+    ref_det.txtThreshold = cfg.text_threshold
+    ref_det.linkThreshold = cfg.link_threshold
+
+    import tools as ref_tools
+
+    with torch.no_grad():
+        im_tensor, rw_, rh_ = ref_det.preproc(image)
+        y, _ = ref_det.net(im_tensor)
+        st = y[0, :, :, 0].cpu().data.numpy()
+        sl = y[0, :, :, 1].cpu().data.numpy()
+        rects = ref_det.getCoords([st, sl], rw_, rh_)
+    rects = sorted(rects, key=cmp_to_key(ref_tools.compare_rects))
+    oracle = np.asarray(rects, np.float64)
+    oracle[:, 0::2] = np.clip(oracle[:, 0::2], 0, RH)
+    oracle[:, 1::2] = np.clip(oracle[:, 1::2], 0, RW)
+    assert len(oracle) >= 6, "too few oracle boxes to be meaningful"
+
+    for tag, quant in (("float", False), ("int8", True)):
+        ours = CRAFT(
+            cfg.replace(quant_int8=quant), variables=det_vars
+        ).detect_rects(image).astype(np.float64)
+        assert len(ours) == len(oracle), (
+            f"[{tag}] box count: ours {len(ours)} vs oracle {len(oracle)}"
+        )
+        ious = [_rect_iou(a, b) for a, b in zip(ours, oracle)]
+        assert np.mean(ious) >= 0.99, (
+            f"[{tag}] mean IoU {np.mean(ious):.4f} vs torch oracle"
+        )
+        assert np.min(ious) >= 0.95, (
+            f"[{tag}] min IoU {np.min(ious):.4f} vs torch oracle"
+        )

@@ -362,3 +362,20 @@ class TestSelfInitHealth:
             f"self-initialized BiLSTM is input-independent "
             f"(cross-sample std {cross:.2e} vs total {total:.2e})"
         )
+
+
+def test_save_checkpoint_same_step_overwrites(tmp_path):
+    """Re-saving an existing step must replace it, not silently no-op
+    (orbax skips same-step saves by default; a retrain ending at the
+    same final step would keep stale weights on disk)."""
+    from lightly_ocr_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, 5, {"w": np.zeros(3, np.float32)})
+    save_checkpoint(d, 5, {"w": np.ones(3, np.float32)})
+    restored, step = restore_checkpoint(d, {"w": np.zeros(3, np.float32)})
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(restored["w"]), 1.0)
