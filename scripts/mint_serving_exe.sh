@@ -46,4 +46,10 @@ if [ -n "$entry" ]; then
     echo "       (and git rm stale .aotcache/*.jexe of superseded graphs:" >&2
     echo "        any tpu entry not named above is dead weight)" >&2
 fi
+
+# Record the trace-path manifest so tests/test_aot_manifest.py turns the
+# suite red if any later commit edits the trace path without re-minting
+# (the round-4 official-number regression mode).
+python scripts/aot_manifest.py write >&2
+echo "Also:  git add .aotcache/MANIFEST.json" >&2
 rm -f "$log_cold" "$log_warm"
