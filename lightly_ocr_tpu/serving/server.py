@@ -169,16 +169,26 @@ def _parse_multipart(environ) -> tuple[str | None, bytes | None]:
 
 def create_app(model, upload_folder: str = "test",
                worker: InferenceWorker | None = None,
-               request_timeout_s: float = 30.0):
+               request_timeout_s: float | None = None):
     """WSGI app around a ``serveModel``-compatible object.
 
     Overload behavior: a full inference queue returns
     ``503 {"status": "overloaded"}`` with a ``Retry-After`` header, and
     a request whose result does not land within ``request_timeout_s``
     returns ``504 {"status": "timeout"}`` — bounded queue + bounded
-    wait, tested by the burst case in tests/test_server.py."""
+    wait, tested by the burst case in tests/test_server.py.
+
+    ``request_timeout_s`` defaults to ``LIGHTLY_OCR_REQUEST_TIMEOUT_S``
+    (env) or 30 s.  Raise it when the first request must ride out a cold
+    XLA compile (e.g. an unwarmed CPU deployment compiles for minutes;
+    the TPU path loads the committed AOT executable in seconds and the
+    default is ample)."""
     import concurrent.futures
 
+    if request_timeout_s is None:
+        request_timeout_s = float(
+            os.environ.get("LIGHTLY_OCR_REQUEST_TIMEOUT_S", "30")
+        )
     os.makedirs(upload_folder, exist_ok=True)
     if worker is None:
         worker = InferenceWorker(
@@ -361,6 +371,14 @@ def main(argv=None) -> int:
                              "default, beam returns true sequence "
                              "posteriors as confidences)")
     parser.add_argument("--beam-width", type=int, default=None)
+    parser.add_argument("--request-timeout", type=float, default=None,
+                        metavar="SECONDS",
+                        help="per-request inference deadline before a "
+                             "504 is returned (default: "
+                             "LIGHTLY_OCR_REQUEST_TIMEOUT_S env or 30; "
+                             "raise for unwarmed deployments whose "
+                             "first request rides out a cold XLA "
+                             "compile)")
     parser.add_argument("--lm", default=None, metavar="PRIOR_NPY",
                         help="shallow-fusion LM prior: path to a "
                              "charset-space .npy transition log-prior "
@@ -385,6 +403,8 @@ def main(argv=None) -> int:
         cfg = replace(cfg, beam_width=opt.beam_width)
     if opt.lm is not None:
         cfg = replace(cfg, ctc_lm_path=opt.lm)
+    if opt.request_timeout is not None:
+        os.environ["LIGHTLY_OCR_REQUEST_TIMEOUT_S"] = str(opt.request_timeout)
     run_server(opt.host, opt.port, opt.config, opt.thresh, config=cfg,
                batched=opt.batched)
     return 0

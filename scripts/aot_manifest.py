@@ -55,9 +55,10 @@ TRACE_PATHS = [
 ]
 
 
-def _iter_files():
+def _iter_files(repo=None):
+    repo = repo or REPO
     for rel in TRACE_PATHS:
-        path = os.path.join(REPO, rel)
+        path = os.path.join(repo, rel)
         if os.path.isfile(path):
             yield rel
         elif os.path.isdir(path):
@@ -66,36 +67,41 @@ def _iter_files():
                     yield f"{rel}/{name}"
 
 
-def current_hashes() -> dict:
+def current_hashes(repo=None) -> dict:
+    repo = repo or REPO
     out = {}
-    for rel in _iter_files():
-        with open(os.path.join(REPO, rel), "rb") as f:
+    for rel in _iter_files(repo):
+        with open(os.path.join(repo, rel), "rb") as f:
             out[rel] = hashlib.sha256(f.read()).hexdigest()
     return out
 
 
-def write() -> None:
+def write(repo=None) -> None:
+    repo = repo or REPO
+    manifest = os.path.join(repo, ".aotcache", "MANIFEST.json")
     # Only TPU entries are committed (CPU .jexe files are transient
     # local-cache artifacts from CLI runs on the host backend).
     entries = sorted(
-        n for n in os.listdir(os.path.join(REPO, ".aotcache"))
+        n for n in os.listdir(os.path.join(repo, ".aotcache"))
         if n.endswith(".jexe") and "tpu" in n
     )
-    with open(MANIFEST, "w") as f:
+    with open(manifest, "w") as f:
         json.dump(
-            {"files": current_hashes(), "jexe_entries": entries},
+            {"files": current_hashes(repo), "jexe_entries": entries},
             f, indent=1, sort_keys=True,
         )
-    print(f"wrote {MANIFEST} ({len(entries)} jexe entries)")
+    print(f"wrote {manifest} ({len(entries)} jexe entries)")
 
 
-def check() -> list:
+def check(repo=None) -> list:
     """Return a list of human-readable drift problems (empty = fresh)."""
-    if not os.path.exists(MANIFEST):
-        return [f"{MANIFEST} missing — run scripts/mint_serving_exe.sh"]
-    with open(MANIFEST) as f:
+    repo = repo or REPO
+    manifest = os.path.join(repo, ".aotcache", "MANIFEST.json")
+    if not os.path.exists(manifest):
+        return [f"{manifest} missing — run scripts/mint_serving_exe.sh"]
+    with open(manifest) as f:
         recorded = json.load(f)
-    now = current_hashes()
+    now = current_hashes(repo)
     problems = []
     for rel, digest in recorded["files"].items():
         if now.get(rel) != digest:
@@ -105,7 +111,7 @@ def check() -> list:
         if rel not in recorded["files"]:
             problems.append(f"{rel}: new trace-path file since the last mint")
     for name in recorded.get("jexe_entries", []):
-        if not os.path.exists(os.path.join(REPO, ".aotcache", name)):
+        if not os.path.exists(os.path.join(repo, ".aotcache", name)):
             problems.append(f".aotcache/{name}: listed in manifest but missing")
     return problems
 

@@ -284,3 +284,41 @@ def test_api_request_timeout_returns_504(tmp_path):
     assert status.startswith("504")
     assert payload == {"status": "timeout"}
     worker.close()
+
+
+def test_request_timeout_env_override(tmp_path, monkeypatch):
+    """LIGHTLY_OCR_REQUEST_TIMEOUT_S (and the --request-timeout flag
+    that sets it) governs the default inference deadline — an unwarmed
+    deployment can ride out its cold first-request compile instead of
+    always answering 504 (create_app docstring)."""
+    from lightly_ocr_tpu.serving.server import InferenceWorker, create_app
+
+    release = threading.Event()
+
+    def predict_fn(images):
+        release.wait(2)
+        return [["slow-but-ok"]] * len(images)
+
+    # Deadline below the inference time -> 504 under the env default.
+    monkeypatch.setenv("LIGHTLY_OCR_REQUEST_TIMEOUT_S", "0.2")
+    worker = InferenceWorker(predict_fn, max_batch=1, max_queue=4)
+    app = create_app(FakeModel(), upload_folder=str(tmp_path), worker=worker)
+    body, ctype = _multipart("receipt.png", _png_bytes())
+    status, payload = _make_client(app)("POST", "/api", body, ctype)
+    release.set()
+    worker.close()
+    assert status.startswith("504")
+
+    # Raised deadline -> the same slow inference lands as 200.
+    release.clear()
+    monkeypatch.setenv("LIGHTLY_OCR_REQUEST_TIMEOUT_S", "30")
+    worker = InferenceWorker(predict_fn, max_batch=1, max_queue=4)
+    app = create_app(FakeModel(), upload_folder=str(tmp_path), worker=worker)
+
+    import threading as _t
+
+    _t.Timer(0.3, release.set).start()
+    status, payload = _make_client(app)("POST", "/api", body, ctype)
+    worker.close()
+    assert status.startswith("200")
+    assert payload["results"] == {"0": "slow-but-ok"}
