@@ -108,14 +108,25 @@ class InferenceWorker:
                 # found the bounded queue full and skipped the sentinel)
             if item[0] is None:
                 continue
-            batch = [item]
-            while len(batch) < self.max_batch:
+            candidates = [item]
+            while len(candidates) < self.max_batch:
                 try:
                     nxt = self.q.get_nowait()
                 except queue.Empty:
                     break
                 if nxt[0] is not None:
-                    batch.append(nxt)
+                    candidates.append(nxt)
+            # Skip requests whose future was cancelled while queued
+            # (the HTTP layer cancels on its 504 deadline): without
+            # this, a saturated queue keeps the device computing
+            # results nobody reads and goodput pins at zero.  After
+            # set_running_or_notify_cancel() a late cancel() can no
+            # longer race our set_result.
+            batch = [
+                c for c in candidates if c[1].set_running_or_notify_cancel()
+            ]
+            if not batch:
+                continue
             images = [b[0] for b in batch]
             futures = [b[1] for b in batch]
             try:
@@ -244,8 +255,18 @@ def create_app(model, upload_folder: str = "test",
             try:
                 results = fut.result(timeout=request_timeout_s)
             except concurrent.futures.TimeoutError:
+                # Cancel so a still-queued request is skipped by the
+                # worker — the deadline must bound the WORK, not just
+                # the wait, or overload goodput pins at zero.
+                fut.cancel()
                 log.warning("request timed out after %.1fs",
                             request_timeout_s)
+                return _json_response(
+                    start_response,
+                    "504 GATEWAY TIMEOUT",
+                    {"status": "timeout"},
+                )
+            except concurrent.futures.CancelledError:
                 return _json_response(
                     start_response,
                     "504 GATEWAY TIMEOUT",
@@ -307,7 +328,8 @@ class BatchedServeModel:
 
 
 def run_server(host: str = "0.0.0.0", port: int = 5000, config_file=None,
-               thresh: float = 0.7, config=None, batched: bool = False):
+               thresh: float = 0.7, config=None, batched: bool = False,
+               request_timeout_s: float | None = None):
     from wsgiref.simple_server import WSGIServer, make_server
     from socketserver import ThreadingMixIn
 
@@ -323,7 +345,8 @@ def run_server(host: str = "0.0.0.0", port: int = 5000, config_file=None,
             config=config or load_config(config_file), thresh=thresh
         )
         worker = InferenceWorker(model.predict_many)
-        app = create_app(model, worker=worker)
+        app = create_app(model, worker=worker,
+                         request_timeout_s=request_timeout_s)
         httpd = make_server(host, port, app,
                             server_class=ThreadingWSGIServer)
         log.info("serving (batched) on %s:%d", host, port)
@@ -332,7 +355,7 @@ def run_server(host: str = "0.0.0.0", port: int = 5000, config_file=None,
         return
 
     model = serveModel(config_file=config_file, thresh=thresh, config=config)
-    app = create_app(model)
+    app = create_app(model, request_timeout_s=request_timeout_s)
     httpd = make_server(host, port, app, server_class=ThreadingWSGIServer)
     log.info("serving on %s:%d", host, port)
     print(f"serving on {host}:{port}", flush=True)
@@ -403,10 +426,8 @@ def main(argv=None) -> int:
         cfg = replace(cfg, beam_width=opt.beam_width)
     if opt.lm is not None:
         cfg = replace(cfg, ctc_lm_path=opt.lm)
-    if opt.request_timeout is not None:
-        os.environ["LIGHTLY_OCR_REQUEST_TIMEOUT_S"] = str(opt.request_timeout)
     run_server(opt.host, opt.port, opt.config, opt.thresh, config=cfg,
-               batched=opt.batched)
+               batched=opt.batched, request_timeout_s=opt.request_timeout)
     return 0
 
 

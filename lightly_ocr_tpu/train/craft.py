@@ -208,8 +208,16 @@ def make_craft_optimizer(
     over slice1 (``ocr/modules/vgg_bn.py:57-60``).  BN running stats
     of frozen slices still update (they are state, not params —
     matching torch, where ``freeze`` does not toggle ``track_running_
-    stats``)."""
-    tx = optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+    stats``).
+
+    The freeze mask zeroes gradients BEFORE the clip: in torch,
+    ``requires_grad=False`` params have no ``.grad`` at all, so
+    ``clip_grad_norm`` never sees them (``crnn.py:264-267`` clips only
+    grad-enabled params).  Masking after the clip would let frozen
+    slice1's (large, early-training) gradients inflate the global norm
+    and silently shrink every trainable update whenever clipping
+    engages."""
+    steps = []
     if freeze:
         names = frozenset(freeze)
 
@@ -220,8 +228,9 @@ def make_craft_optimizer(
 
             return jax.tree_util.tree_map_with_path(is_frozen, params)
 
-        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
-    return tx
+        steps.append(optax.masked(optax.set_to_zero(), frozen_mask))
+    steps += [optax.clip_by_global_norm(clip), optax.adam(lr)]
+    return optax.chain(*steps)
 
 
 def load_torchvision_backbone(variables: dict, source) -> dict:

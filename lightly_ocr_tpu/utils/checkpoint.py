@@ -32,13 +32,43 @@ def save_checkpoint(directory: str, step: int, state: Any,
     # under force=True) — a retrain ending at the same final step
     # would keep the stale weights on disk (observed: two demo-CRAFT
     # retrains both ending at step 3000, the second's state lost).
+    #
+    # Replace SAFELY: the old step is renamed aside (atomic) and only
+    # removed after the new save is finalized — delete-then-save would
+    # leave NO copy of the step if the process dies mid-save.
+    import shutil
+
+    root = os.path.abspath(directory)
     mgr = _manager(directory, max_to_keep)
+    backup = None
     if step in mgr.all_steps():
-        mgr.delete(step)
-    mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics,
-             force=True)
-    mgr.wait_until_finished()
-    mgr.close()
+        mgr.close()
+        for name in os.listdir(root):
+            try:
+                is_step = int(name) == step
+            except ValueError:
+                continue
+            if is_step:
+                backup = os.path.join(root, f"replaced.{name}.bak")
+                if os.path.exists(backup):
+                    shutil.rmtree(backup)
+                os.rename(os.path.join(root, name), backup)
+                break
+        mgr = _manager(directory, max_to_keep)  # re-scan sans the step
+    try:
+        mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics,
+                 force=True)
+        mgr.wait_until_finished()
+    except BaseException:
+        if backup is not None:  # put the old state back
+            target = os.path.join(root, os.path.basename(backup)[9:-4])
+            if not os.path.exists(target):
+                os.rename(backup, target)
+        raise
+    finally:
+        mgr.close()
+    if backup is not None:
+        shutil.rmtree(backup)
 
 
 def latest_step(directory: str) -> int | None:

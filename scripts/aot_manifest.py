@@ -37,7 +37,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MANIFEST = os.path.join(REPO, ".aotcache", "MANIFEST.json")
 
 # Files/dirs whose source can appear in (or shape) the lowered serving
-# program.  Directories are walked for *.py.
+# program.  Directories are walked RECURSIVELY for *.py (a new helper
+# module imported from the trace path must not escape the manifest),
+# minus EXCLUDE entries.
 TRACE_PATHS = [
     "bench.py",
     "config.yml",
@@ -45,14 +47,16 @@ TRACE_PATHS = [
     "lightly_ocr_tpu/engines.py",
     "lightly_ocr_tpu/models",
     "lightly_ocr_tpu/ops",
-    # serving/: only batch.py is on the bench trace path — server.py and
-    # ingress.py are host-side WSGI/sqlite code that cannot appear in the
-    # lowered program, and flagging them would force phantom re-mints.
-    "lightly_ocr_tpu/serving/__init__.py",
-    "lightly_ocr_tpu/serving/batch.py",
+    "lightly_ocr_tpu/serving",
     "lightly_ocr_tpu/text",
     "lightly_ocr_tpu/parallel",
 ]
+# Host-side code that cannot appear in the lowered program; flagging it
+# would force phantom re-mints (a 25-min cold compile each).
+EXCLUDE = {
+    "lightly_ocr_tpu/serving/server.py",
+    "lightly_ocr_tpu/serving/ingress.py",
+}
 
 
 def _iter_files(repo=None):
@@ -62,9 +66,18 @@ def _iter_files(repo=None):
         if os.path.isfile(path):
             yield rel
         elif os.path.isdir(path):
-            for name in sorted(os.listdir(path)):
-                if name.endswith(".py"):
-                    yield f"{rel}/{name}"
+            for dirpath, dirnames, filenames in os.walk(path):
+                dirnames[:] = sorted(
+                    d for d in dirnames if d != "__pycache__"
+                )
+                for name in sorted(filenames):
+                    if not name.endswith(".py"):
+                        continue
+                    frel = os.path.relpath(
+                        os.path.join(dirpath, name), repo
+                    ).replace(os.sep, "/")
+                    if frel not in EXCLUDE:
+                        yield frel
 
 
 def current_hashes(repo=None) -> dict:

@@ -111,6 +111,14 @@ def main():
     rows = []
 
     def add(tag, flops, ms):
+        # A trace with no jit events yields ms=None (device_ms) —
+        # don't lose the whole table to a TypeError after every stage
+        # already compiled and ran; print the row as unmeasured and
+        # keep it out of the end-to-end sum.
+        if ms is None:
+            print(f"{tag:44s} {flops / 1e9:10.1f} GF   (no device trace "
+                  f"captured — stage excluded from e2e row)", flush=True)
+            return
         rows.append((tag, flops, ms))
         gf = flops / 1e9
         tfs = flops / (ms * 1e-3) / 1e12 if ms else float("nan")
@@ -129,6 +137,10 @@ def main():
                     inv_b, ext_b)
     add(f"postprocess (CC+boxes+crop+rec) b{B}", f, ms)
 
+    if not rows:
+        print("no stage produced a device trace — nothing to sum",
+              flush=True)
+        return
     e2e_f = sum(r[1] for r in rows)
     e2e_ms = sum(r[2] for r in rows)
     tfs = e2e_f / (e2e_ms * 1e-3) / 1e12

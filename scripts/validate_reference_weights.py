@@ -218,7 +218,17 @@ def run_e2e(weights_dir: str, det, rec, cfg, args) -> int:
     if args.image:
         from PIL import Image
 
-        image = np.asarray(Image.open(args.image).convert("RGB"))
+        # Equal-channel (luma-replicated) so both stacks see the same
+        # pixels: on a COLOR image the legs diverge BY DESIGN — this
+        # repo is RGB-correct while the reference feeds cv2's BGR into
+        # RGB-ordered normalization and BGR2GRAY (pipeline.py module
+        # docstring, deviation #1) — and the parity gates would fail
+        # spuriously.  Grayscale receipts still exercise legibility.
+        image = np.asarray(Image.open(args.image).convert("L"))
+        image = np.repeat(image[:, :, None], 3, axis=2)
+        print("note: --image collapsed to equal-channel gray (the "
+              "reference's BGR/RGB mix makes color inputs diverge by "
+              "design)", flush=True)
     else:
         # equal-channel blob receipt (the golden tests' geometry,
         # tests/test_e2e_parity.py::_make_receipt): blobs sized so a

@@ -74,6 +74,14 @@ def test_manifest_detects_drift_and_deletion(tmp_path):
     problems = mod.check(repo=str(repo))
     assert any("newkernel.py" in p and "new" in p for p in problems)
 
+    # ... including in a NEW SUBPACKAGE (the walk must recurse).
+    mod.write(repo=str(repo))
+    sub = repo / "lightly_ocr_tpu" / "ops" / "sub"
+    sub.mkdir()
+    (sub / "helper.py").write_text("H = 1\n")
+    problems = mod.check(repo=str(repo))
+    assert any("sub/helper.py" in p for p in problems)
+
     # Deleting the minted executable is named.
     mod.write(repo=str(repo))
     (repo / ".aotcache" / "batched-ocr-tpuv5lite1-abc.jexe").unlink()

@@ -201,3 +201,43 @@ def test_freeze_slice1_pins_params(rng):
         )
     ]
     assert all(moved), "unfrozen decoder params must update"
+
+
+def test_freeze_excluded_from_clip_norm():
+    """Frozen gradients must be zeroed BEFORE clip_by_global_norm: in
+    torch, requires_grad=False params have no .grad, so clipping sees
+    only trainable grads (crnn.py:264-267).  A huge frozen-slice
+    gradient must therefore not shrink the trainable update."""
+    import optax
+
+    from lightly_ocr_tpu.train.craft import make_craft_optimizer
+
+    params = {
+        "basenet": {"slice1": {"w": jnp.zeros((4,))}},
+        "upconv1": {"w": jnp.zeros((4,))},
+    }
+    # Trainable grad well under the clip=5 threshold on its own; the
+    # frozen grad alone would blow the global norm 1000x past it.
+    grads = {
+        "basenet": {"slice1": {"w": jnp.full((4,), 1e4)}},
+        "upconv1": {"w": jnp.full((4,), 1.0)},
+    }
+    tx = make_craft_optimizer(lr=1.0, clip=5.0, freeze=("slice1",))
+    updates, _ = tx.update(grads, tx.init(params), params)
+
+    np.testing.assert_array_equal(
+        np.asarray(updates["basenet"]["slice1"]["w"]), np.zeros((4,))
+    )
+    # Reference for the trainable update: same optimizer with the
+    # frozen grads absent entirely.
+    tx_ref = make_craft_optimizer(lr=1.0, clip=5.0)
+    ref_grads = {
+        "basenet": {"slice1": {"w": jnp.zeros((4,))}},
+        "upconv1": {"w": jnp.full((4,), 1.0)},
+    }
+    ref_updates, _ = tx_ref.update(ref_grads, tx_ref.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(updates["upconv1"]["w"]),
+        np.asarray(ref_updates["upconv1"]["w"]),
+        rtol=1e-6,
+    )

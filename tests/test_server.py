@@ -322,3 +322,37 @@ def test_request_timeout_env_override(tmp_path, monkeypatch):
     worker.close()
     assert status.startswith("200")
     assert payload["results"] == {"0": "slow-but-ok"}
+
+
+def test_cancelled_queued_requests_are_skipped():
+    """A future cancelled while queued (the 504 path calls
+    fut.cancel()) must never reach predict_fn — the deadline bounds
+    the WORK, not just the wait, so overload goodput can recover."""
+    from lightly_ocr_tpu.serving.server import InferenceWorker
+
+    gate = threading.Event()
+    seen = []
+
+    def predict_fn(images):
+        gate.wait(5)
+        seen.extend(int(img[0, 0, 0]) for img in images)
+        return [["ok"]] * len(images)
+
+    # max_batch=1: the first item occupies the worker (blocked on
+    # gate); the rest sit queued and cancellable.
+    worker = InferenceWorker(predict_fn, max_batch=1, max_queue=8)
+    futs = [
+        worker.submit(np.full((2, 2, 3), i, np.uint8)) for i in range(4)
+    ]
+    waiter = threading.Event()
+    for _ in range(100):  # until the worker marks item 0 running
+        if futs[0].running():
+            break
+        waiter.wait(0.05)
+    assert not futs[0].cancel()  # running: cancel must fail
+    assert futs[1].cancel() and futs[2].cancel()  # queued: cancellable
+    gate.set()
+    assert futs[3].result(timeout=5) == ["ok"]
+    assert futs[0].result(timeout=5) == ["ok"]
+    worker.close()
+    assert seen == [0, 3], "cancelled items 1 and 2 must be skipped"

@@ -379,3 +379,39 @@ def test_save_checkpoint_same_step_overwrites(tmp_path):
     restored, step = restore_checkpoint(d, {"w": np.zeros(3, np.float32)})
     assert step == 5
     np.testing.assert_array_equal(np.asarray(restored["w"]), 1.0)
+
+
+def test_save_checkpoint_replace_survives_midsave_crash(tmp_path,
+                                                        monkeypatch):
+    """A same-step re-save that dies MID-SAVE must leave the previous
+    state restorable: the old step is renamed aside and only removed
+    after the new save finalizes (delete-then-save would leave no copy
+    at all)."""
+    import orbax.checkpoint as ocp
+
+    from lightly_ocr_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, 5, {"w": np.zeros(3, np.float32)})
+
+    real_save = ocp.CheckpointManager.save
+
+    def dying_save(self, step, *a, **kw):
+        raise RuntimeError("simulated crash mid-save")
+
+    monkeypatch.setattr(ocp.CheckpointManager, "save", dying_save)
+    with pytest.raises(RuntimeError, match="simulated"):
+        save_checkpoint(d, 5, {"w": np.ones(3, np.float32)})
+    monkeypatch.setattr(ocp.CheckpointManager, "save", real_save)
+
+    restored, step = restore_checkpoint(d, {"w": np.zeros(3, np.float32)})
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(restored["w"]), 0.0)
+
+    # And a subsequent healthy re-save still replaces cleanly.
+    save_checkpoint(d, 5, {"w": np.full(3, 2.0, np.float32)})
+    restored, _ = restore_checkpoint(d, {"w": np.zeros(3, np.float32)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), 2.0)
