@@ -42,12 +42,25 @@ def lm_prior_to_attention_space(arr: np.ndarray) -> np.ndarray:
     [n+2, n+2] ([GO]=0, [s]=1, chars at 2+): [GO] inherits the
     word-start row, char rows/cols shift by one, and the [s] (EOS)
     row/column stays 0 — the prior reranks characters, never the stop
-    decision (the acoustic model owns termination)."""
+    decision (the acoustic model owns termination).
+
+    Each row's char entries are CENTERED (mean char adjustment = 0):
+    raw log-priors are all negative while the untouched EOS column
+    sits at 0, so without centering every char extension pays a
+    penalty EOS never pays and fused decodes terminate early (the
+    classic un-counterbalanced shallow-fusion length bias — exactly
+    the "rec[s]" truncation the docstring above promises to avoid).
+    Centering preserves every relative char preference and makes the
+    EOS-neutrality claim true in expectation, not just for the EOS
+    entry itself.  (CTC beams don't need this: CTC has no EOS token —
+    termination is frame exhaustion, so a uniform row offset cancels
+    between competing same-length beams.)"""
     n = arr.shape[0] - 1
-    out = np.zeros((n + 2, n + 2), arr.dtype)
-    out[0, 2:] = arr[0, 1:]        # word start -> first char
-    out[2:, 2:] = arr[1:, 1:]      # char -> char
-    return out
+    out = np.zeros((n + 2, n + 2), np.float64)
+    out[0, 2:] = arr[0, 1:] - np.mean(arr[0, 1:])
+    out[2:, 2:] = arr[1:, 1:] - np.mean(arr[1:, 1:], axis=1,
+                                        keepdims=True)
+    return out.astype(arr.dtype)
 
 
 def load_lm_prior(cfg: Config) -> jax.Array | None:

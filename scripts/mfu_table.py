@@ -21,9 +21,6 @@ Usage: nohup python scripts/mfu_table.py > /tmp/mfu.log 2>&1 &
 """
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import os
 import sys
 import tempfile
@@ -31,6 +28,7 @@ import tempfile
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import numpy as np
 
@@ -39,17 +37,12 @@ PEAK_INT8 = 394e12  # v5e per-chip int8 peak OP/s
 
 
 def device_ms(trace_dir):
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    if not files:
-        return None
-    with gzip.open(sorted(files)[-1]) as f:
-        tr = json.load(f)
-    total = 0.0
-    for e in tr.get("traceEvents", []):
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        if e["name"].startswith("jit_") and "(" in e["name"]:
-            total += e["dur"] / 1e3
+    # One parser for all the trace tooling (profile_trace.py owns it;
+    # bench.py carries a minimal inlined copy because importing from
+    # scripts/ would put this file on the AOT trace path).
+    from profile_trace import device_ms as _full
+
+    total, _ = _full(trace_dir)
     return total or None
 
 

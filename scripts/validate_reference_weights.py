@@ -263,22 +263,13 @@ def run_e2e(weights_dir: str, det, rec, cfg, args) -> int:
     ref_det.txtThreshold = cfg.text_threshold
     ref_det.linkThreshold = cfg.link_threshold
 
-    # reference rects (net.py:100-111 capture) in reading order
-    from functools import cmp_to_key
+    # reference rects (net.py:100-111 capture) in reading order —
+    # shared oracle protocol with tests/test_e2e_parity.py
+    from reference_oracle import clip_rects, reference_rects
 
-    import tools as ref_tools
-
-    with torch.no_grad():
-        im_tensor, rw_, rh_ = ref_det.preproc(image)
-        y, _ = ref_det.net(im_tensor)
-        st = y[0, :, :, 0].cpu().data.numpy()
-        sl = y[0, :, :, 1].cpu().data.numpy()
-        ref_rects = ref_det.getCoords([st, sl], rw_, rh_)
-    ref_rects = sorted(ref_rects, key=cmp_to_key(ref_tools.compare_rects))
-    ref_clip = np.asarray(ref_rects, np.float64)
+    ref_rects = reference_rects(ref_det, image)
     h, w = image.shape[:2]
-    ref_clip[:, 0::2] = np.clip(ref_clip[:, 0::2], 0, h)
-    ref_clip[:, 1::2] = np.clip(ref_clip[:, 1::2], 0, w)
+    ref_clip = clip_rects(ref_rects, h, w)
 
     ours = det.detect_rects(image).astype(np.float64)
     if len(ours) != len(ref_clip):

@@ -163,3 +163,35 @@ def load_reference_engines():
     _cache["pipeline"] = pipeline
     _cache["tools"] = tools
     return net, pipeline, tools
+
+
+def reference_rects(ref_det, image):
+    """The reference detector's rect extraction in reading order
+    (``net.py:100-111``: preproc -> forward -> getCoords ->
+    ``compare_rects`` sort), capturing rects instead of crops.  One
+    definition shared by the golden-parity tests and
+    ``scripts/validate_reference_weights.py`` so the oracle protocol
+    cannot drift between them."""
+    from functools import cmp_to_key
+
+    import torch
+
+    _, _, ref_tools = load_reference_engines()
+    with torch.no_grad():
+        im_tensor, rw, rh = ref_det.preproc(image)
+        y, _ = ref_det.net(im_tensor)
+        score_text = y[0, :, :, 0].cpu().data.numpy()
+        score_link = y[0, :, :, 1].cpu().data.numpy()
+        rects = ref_det.getCoords([score_text, score_link], rw, rh)
+    return sorted(rects, key=cmp_to_key(ref_tools.compare_rects))
+
+
+def clip_rects(rects, h, w):
+    """Rects -> float64 array clipped to the image extent (rows then
+    cols) — the shared post-step both consumers apply before IoU."""
+    import numpy as _np
+
+    out = _np.asarray(rects, _np.float64)
+    out[:, 0::2] = _np.clip(out[:, 0::2], 0, h)
+    out[:, 1::2] = _np.clip(out[:, 1::2], 0, w)
+    return out

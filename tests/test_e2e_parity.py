@@ -130,20 +130,12 @@ def _rect_iou(a, b):
 
 
 def _reference_rects(ref_det, img_bgr, refnet):
-    """net.py:100-111: forward + getCoords + reading-order sort,
-    capturing the rects instead of the crops."""
-    from functools import cmp_to_key
+    """net.py:100-111 capture — shared definition in
+    tests/reference_oracle.reference_rects (also used by
+    scripts/validate_reference_weights.py)."""
+    from reference_oracle import reference_rects
 
-    _, tools_mod = None, None
-    with torch.no_grad():
-        im_tensor, rw, rh = ref_det.preproc(img_bgr)
-        y, _ = ref_det.net(im_tensor)
-        score_text = y[0, :, :, 0].cpu().data.numpy()
-        score_link = y[0, :, :, 1].cpu().data.numpy()
-        rects = ref_det.getCoords([score_text, score_link], rw, rh)
-    import tools as ref_tools
-
-    return sorted(rects, key=cmp_to_key(ref_tools.compare_rects))
+    return reference_rects(ref_det, img_bgr)
 
 
 # The reference side of a case is fully determined by (receipt_hw,

@@ -148,14 +148,41 @@ def test_lm_prior_to_attention_space_layout():
     arr = np.arange((n + 1) * (n + 1), dtype=np.float32).reshape(n + 1, -1)
     out = lm_prior_to_attention_space(arr)
     assert out.shape == (n + 2, n + 2)
-    # [GO] row inherits the word-start distribution over chars
-    np.testing.assert_array_equal(out[0, 2:], arr[0, 1:])
-    # char block shifts by one ([s] slot inserted at index 1)
-    np.testing.assert_array_equal(out[2:, 2:], arr[1:, 1:])
+    # [GO] row inherits the word-start distribution over chars,
+    # centered (relative preferences preserved, mean adjustment 0)
+    np.testing.assert_allclose(
+        out[0, 2:], arr[0, 1:] - arr[0, 1:].mean(), rtol=1e-6
+    )
+    # char block shifts by one ([s] slot inserted at index 1), row-wise
+    # centered so char extensions pay no penalty EOS avoids
+    np.testing.assert_allclose(
+        out[2:, 2:],
+        arr[1:, 1:] - arr[1:, 1:].mean(axis=1, keepdims=True),
+        rtol=1e-6,
+    )
     # EOS row/col and [GO] col stay 0: prior reranks chars, not stopping
     np.testing.assert_array_equal(out[1, :], 0.0)
     np.testing.assert_array_equal(out[:, 1], 0.0)
     np.testing.assert_array_equal(out[:, 0], 0.0)
+
+
+def test_lm_prior_attention_space_is_eos_neutral():
+    """Every row's mean char adjustment is 0: with all-negative raw
+    log-priors and the EOS column pinned at 0, uncentered rows would
+    penalize every char extension relative to stopping, systematically
+    truncating fused decodes (length bias)."""
+    from lightly_ocr_tpu.models.decode import lm_prior_to_attention_space
+
+    rng = np.random.default_rng(3)
+    n = 36
+    arr = np.log(
+        rng.dirichlet(np.ones(n + 1), size=n + 1).astype(np.float32)
+    ) * 0.4  # weighted log-probs: all negative
+    out = lm_prior_to_attention_space(arr)
+    np.testing.assert_allclose(out[0, 2:].mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(
+        out[2:, 2:].mean(axis=1), np.zeros(n), atol=1e-5
+    )
 
 
 def test_load_lm_prior_modes(tmp_path):
